@@ -1,0 +1,129 @@
+"""Unified, typed configuration shared by train and serve.
+
+The reference splits configuration between a mutable Python object
+(`/root/reference/python/src/settings.py:1-41`), hard-coded homography dicts
+(`homographies.py:33-61`), and a compile-time C++ struct
+(`cpp/src/settings.h:8-32`) that must agree on `cell`, `confidence_thresh`,
+and `nms_dist` by convention.  Here there is exactly one frozen (hashable)
+dataclass, so a config can be a static argument to a jitted function and
+train/serve cannot drift apart.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class SuperPointConfig:
+    """Operating point + model + training hyperparameters.
+
+    Defaults replicate the reference operating point
+    (`/root/reference/python/src/settings.py:4-31`).
+    """
+
+    # --- keypoint decode operating point (settings.py:4-8) ---
+    cell: int = 8                     # output cell size; total encoder stride
+    nms_dist: int = 4                 # NMS suppression radius (inf-norm)
+    confidence_thresh: float = 0.015  # detector confidence threshold
+    nn_thresh: float = 0.7            # descriptor L2 distance for a good match
+    border_remove: int = 4            # strip detections this close to border
+
+    # --- fixed-shape keypoint representation (TPU-native; replaces the
+    # reference's ragged numpy arrays, netutils.py:78-100) ---
+    max_keypoints: int = 1024         # K: keypoints padded/truncated to this
+    nms_iters: int = 4                # suppression rounds; exact greedy NMS for
+                                      # score-descending chains up to this depth
+
+    # --- model topology (superpoint.py:12-61) ---
+    image_channels: int = 3
+    descriptor_dim: int = 128
+    grid_channels: int = 65           # 64 cell positions + dustbin
+
+    # --- loss (settings.py:11-14, losses.py) ---
+    lambda_d: float = 250.0
+    positive_margin: float = 1.0
+    negative_margin: float = 0.2
+    detector_loss: str = "distance"   # "distance" (reference deviation) | "ce"
+
+    # --- training (settings.py:17-30) ---
+    train_image_size: Tuple[int, int] = (240, 320)
+    batch_size: int = 32
+    grad_accum_steps: int = 1         # lax.scan microbatching; replaces
+                                      # the reference's batch_size_divider
+    learning_rate: float = 1.0e-3
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.999
+    adam_eps: float = 1.0e-8
+    weight_decay: float = 0.01
+    epochs: int = 100
+
+    # --- numerics: bf16 compute replaces AMP + GradScaler
+    # (basetrainer.py:48,105-119); no loss scaling needed on TPU ---
+    compute_dtype: str = "bfloat16"
+
+    # --- data pipeline ---
+    max_points: int = 512             # fixed-size padded ground-truth point sets
+    shuffle_seed: int = 0
+    prefetch_batches: int = 2
+
+    # --- parallelism (new first-class layer; the reference has none,
+    # SURVEY.md §2.3) ---
+    data_axis: str = "data"
+
+    @property
+    def compute_jnp_dtype(self):
+        import jax.numpy as jnp
+
+        return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[self.compute_dtype]
+
+    def grid_size(self, img_h: int, img_w: int) -> Tuple[int, int]:
+        assert img_h % self.cell == 0 and img_w % self.cell == 0, (
+            f"image size ({img_h},{img_w}) must be divisible by cell={self.cell}"
+        )
+        return img_h // self.cell, img_w // self.cell
+
+    def replace(self, **kw) -> "SuperPointConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class HomographyConfig:
+    """Random homography family for augmentation / adaptation.
+
+    Defaults replicate `/root/reference/python/src/homographies.py:33-50`;
+    `for_preprocess()` replicates the looser self-labeling variant
+    (`homographies.py:52-61`).
+    """
+
+    num: int = 15                     # warps per image in adaptation
+    perspective: bool = True
+    scaling: bool = True
+    rotation: bool = True
+    translation: bool = True
+    n_scales: int = 5
+    n_angles: int = 25
+    scaling_amplitude: float = 0.1
+    perspective_amplitude_x: float = 0.1
+    perspective_amplitude_y: float = 0.1
+    patch_ratio: float = 0.5
+    max_angle: float = math.pi / 2
+    allow_artifacts: bool = False
+    translation_overflow: float = 0.0
+    valid_border_margin: int = 8
+    aggregation: str = "sum"          # "sum" (mean) | "max"
+
+    @classmethod
+    def for_preprocess(cls) -> "HomographyConfig":
+        return cls(
+            scaling_amplitude=0.2,
+            perspective_amplitude_x=0.2,
+            perspective_amplitude_y=0.2,
+            allow_artifacts=True,
+            patch_ratio=0.85,
+        )
+
+    def replace(self, **kw) -> "HomographyConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,147 @@
+"""ResNet-backbone SuperPoint — the flagship model, as a Flax module.
+
+Topology mirrors `/root/reference/python/src/superpoint.py:8-115` (so
+reference checkpoints port 1:1 for parity tests), re-designed TPU-first:
+
+* NHWC layout, bfloat16 compute / float32 params by default (replacing
+  AMP + GradScaler, `basetrainer.py:48`);
+* one model definition shared by train and serve (the reference's C++ app
+  hand-builds a *different* VGG model, `cpp/src/model.cc` — see
+  ``models/vgg_superpoint.py`` for that family);
+* descriptor enablement is a **static** argument: disabling it for the
+  MagicPoint phase (`superpoint.py:74-78`) removes the head from the traced
+  program entirely instead of multiplying by zero.
+
+Total stride 8 == cell size: conv7x7/2 + maxpool/2 + layer2/2.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from feature_point_cnn_tpu.config import SuperPointConfig
+from feature_point_cnn_tpu.models.blocks import (
+    ResNetLayer,
+    TorchConvTranspose,
+    batch_norm,
+    torch_conv,
+)
+from feature_point_cnn_tpu.ops.detection import decode_prob_map
+
+
+class Encoder(nn.Module):
+    """conv7x7/2(3->64)+BN+ReLU+maxpool3/2, then residual layers 64/1 and
+    128/2 (`superpoint.py:8-26`)."""
+
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        dt = self.dtype
+        x = torch_conv(64, 7, 2, 3, dtype=dt, name="conv1")(x)
+        x = batch_norm(train, dt, "bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(
+            x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
+        )
+        x = ResNetLayer(2, 64, stride=1, dtype=dt, name="layer1")(x, train)
+        x = ResNetLayer(2, 128, stride=2, dtype=dt, name="layer2")(x, train)
+        return x
+
+
+class Detector(nn.Module):
+    """Residual layer 128 -> 65 logits; also exposes its 128-ch input as the
+    embedding consumed by the descriptor head (`superpoint.py:29-36`)."""
+
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, train: bool
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        logits = ResNetLayer(2, 65, stride=1, dtype=self.dtype, name="layer")(
+            x, train
+        )
+        return logits, x
+
+
+class Descriptor(nn.Module):
+    """128 -> 256/2 residual layer, ConvT upsample back to 1/8 res, concat
+    with the detector embedding (256ch), residual layer -> 128-d
+    (`superpoint.py:39-61`)."""
+
+    dtype: Any = jnp.bfloat16
+    descriptor_dim: int = 128
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, embeddings: jnp.ndarray, train: bool
+    ) -> jnp.ndarray:
+        dt = self.dtype
+        y = ResNetLayer(2, 256, stride=2, dtype=dt, name="layer_in")(x, train)
+        y = TorchConvTranspose(128, dtype=dt, name="up_sample")(y)
+        y = batch_norm(train, dt, "bn")(y)
+        y = nn.relu(y)
+        y = jnp.concatenate([y, embeddings.astype(dt)], axis=-1)
+        y = ResNetLayer(
+            2, self.descriptor_dim, stride=1, dtype=dt, name="layer_out"
+        )(y, train)
+        return y
+
+
+class SuperPoint(nn.Module):
+    """Full detector+descriptor network.
+
+    ``__call__(image (B, H, W, 3) in [0,1], train, enable_descriptor)``
+    returns ``(prob_map (B, H, W) f32, desc (B, Hc, Wc, D) f32,
+    logits (B, Hc, Wc, 65) f32)`` — the reference's contract
+    (`superpoint.py:91-115`) in NHWC.
+    """
+
+    config: SuperPointConfig = SuperPointConfig()
+
+    @nn.compact
+    def __call__(
+        self,
+        image: jnp.ndarray,
+        train: bool = False,
+        enable_descriptor: bool = True,
+    ):
+        cfg = self.config
+        dt = cfg.compute_jnp_dtype
+        b, h, w, _ = image.shape
+        hc, wc = cfg.grid_size(h, w)
+
+        x = Encoder(dtype=dt, name="encoder")(image.astype(dt), train)
+        logits, embeddings = Detector(dtype=dt, name="detector")(x, train)
+        logits = logits.astype(jnp.float32)
+
+        if enable_descriptor:
+            desc = Descriptor(
+                dtype=dt, descriptor_dim=cfg.descriptor_dim, name="descriptor"
+            )(x, embeddings, train).astype(jnp.float32)
+        else:
+            desc = jnp.zeros((b, hc, wc, cfg.descriptor_dim), jnp.float32)
+
+        prob_map = decode_prob_map(logits, cfg.cell)
+        return prob_map, desc, logits
+
+
+def init_superpoint(
+    key: jax.Array,
+    config: SuperPointConfig = SuperPointConfig(),
+    image_size: Tuple[int, int] | None = None,
+):
+    """Initialize params + batch_stats on a dummy image.
+
+    Returns ``(model, variables)``; ``variables = {"params", "batch_stats"}``.
+    """
+    h, w = image_size or config.train_image_size
+    model = SuperPoint(config=config)
+    dummy = jnp.zeros((1, h, w, config.image_channels), jnp.float32)
+    variables = model.init(key, dummy, train=False, enable_descriptor=True)
+    return model, variables

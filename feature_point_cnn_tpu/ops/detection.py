@@ -1,0 +1,136 @@
+"""Keypoint decode: cell softmax -> prob map -> NMS -> fixed-K keypoints.
+
+TPU-native re-design of the reference decode path
+(`/root/reference/python/src/netutils.py:56-100`, `nms.py:4-53`):
+
+* the sequential greedy grid NMS (an O(N) host loop over a padded numpy
+  grid) is reformulated as **iterative max-pool suppression** — each round
+  keeps every point that is the maximum of its ``(2d+1)²`` window among
+  not-yet-suppressed points, then suppresses its neighborhood.  A point kept
+  this way is exactly a point greedy NMS would keep, so the result equals
+  greedy NMS for score-descending suppression chains up to ``num_iters``
+  deep (ties may differ: greedy keeps the first in scan order, this keeps
+  both);
+* ragged point lists become fixed ``(B, K)`` arrays with a validity mask
+  (`Keypoints`), so the whole decode jits into one XLA program with static
+  shapes.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from feature_point_cnn_tpu.config import SuperPointConfig
+from feature_point_cnn_tpu.ops.labels import restore_prob_map
+
+
+class Keypoints(NamedTuple):
+    """Fixed-size keypoint set: arrays ``(B, K)``; invalid slots zeroed."""
+
+    y: jnp.ndarray       # (B, K) float32 row coordinate
+    x: jnp.ndarray       # (B, K) float32 col coordinate
+    score: jnp.ndarray   # (B, K) float32 confidence, descending
+    valid: jnp.ndarray   # (B, K) bool
+
+    @property
+    def num(self) -> jnp.ndarray:
+        return jnp.sum(self.valid, axis=-1)
+
+    def xys(self) -> jnp.ndarray:
+        """``(B, K, 3)`` of ``(x, y, score)`` — the reference's public point
+        layout (`netutils.py:85-88`)."""
+        return jnp.stack([self.x, self.y, self.score], axis=-1)
+
+
+def softmax65(logits: jnp.ndarray) -> jnp.ndarray:
+    """Reference softmax ``exp(l) / (sum(exp(l)) + 1e-5)``
+    (`superpoint.py:111-112`), computed stably in float32."""
+    logits = logits.astype(jnp.float32)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    # exp(-m) rescales the reference's absolute epsilon into the shifted frame;
+    # it underflows to exact softmax when m is large, which is the right limit.
+    return e / (jnp.sum(e, axis=-1, keepdims=True) + 1e-5 * jnp.exp(-m))
+
+
+def decode_prob_map(logits: jnp.ndarray, cell: int) -> jnp.ndarray:
+    """``(B, Hc, Wc, 65)`` logits -> ``(B, H, W)`` probability map
+    (softmax + dustbin drop + depth-to-space, `superpoint.py:111-115`)."""
+    return restore_prob_map(softmax65(logits), cell)
+
+
+def _maxpool(x: jnp.ndarray, radius: int) -> jnp.ndarray:
+    k = 2 * radius + 1
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, k, k), (1, 1, 1), "SAME"
+    )
+
+
+def grid_nms(
+    scores: jnp.ndarray, dist_thresh: int, num_iters: int = 4
+) -> jnp.ndarray:
+    """Greedy grid NMS as iterated max-pool suppression.
+
+    ``scores``: ``(B, H, W)`` with non-candidates already zeroed.  Returns the
+    same shape with suppressed entries zeroed.  Matches `corners_nms`
+    (`nms.py:4-53`) — suppression window is the inf-norm ball of radius
+    ``dist_thresh`` — exactly, for suppression chains up to ``num_iters``.
+    """
+    pos = scores > 0.0
+    keep = pos & (scores == _maxpool(scores, dist_thresh))
+    for _ in range(num_iters - 1):
+        suppressed = _maxpool(keep.astype(jnp.float32), dist_thresh) > 0.0
+        remaining = jnp.where(suppressed, 0.0, scores)
+        new_keep = (remaining > 0.0) & (remaining == _maxpool(remaining, dist_thresh))
+        keep = keep | new_keep
+    return jnp.where(keep, scores, 0.0)
+
+
+def extract_keypoints(
+    prob_map: jnp.ndarray, config: SuperPointConfig
+) -> Keypoints:
+    """Threshold + NMS + border strip + top-K.
+
+    Equivalent of `get_points` (`netutils.py:78-100`): candidates are pixels
+    with probability >= ``confidence_thresh``; NMS suppresses the inf-norm
+    neighborhood; border points are removed AFTER NMS (so they still suppress
+    neighbors, as in the reference); survivors sort by descending confidence.
+    """
+    b, h, w = prob_map.shape
+    scores = jnp.where(prob_map >= config.confidence_thresh, prob_map, 0.0)
+    scores = grid_nms(scores, config.nms_dist, config.nms_iters)
+
+    br = config.border_remove
+    ys = jnp.arange(h)
+    xs = jnp.arange(w)
+    border_ok = ((ys >= br) & (ys < h - br))[:, None] & (
+        (xs >= br) & (xs < w - br)
+    )[None, :]
+    scores = jnp.where(border_ok[None], scores, 0.0)
+
+    k = min(config.max_keypoints, h * w)
+    flat = scores.reshape(b, h * w)
+    top_scores, top_idx = jax.lax.top_k(flat, k)
+    valid = top_scores > 0.0
+    y = jnp.where(valid, top_idx // w, 0).astype(jnp.float32)
+    x = jnp.where(valid, top_idx % w, 0).astype(jnp.float32)
+    return Keypoints(y=y, x=x, score=jnp.where(valid, top_scores, 0.0), valid=valid)
+
+
+def keypoints_to_numpy(kp: Keypoints, batch_index: int = 0):
+    """One batch element as the reference's ragged ``3 x N`` ``[x, y, conf]``
+    numpy layout (`netutils.py:84-88`) — host-side convenience only."""
+    import numpy as np
+
+    v = np.asarray(kp.valid[batch_index])
+    pts = np.stack(
+        [
+            np.asarray(kp.x[batch_index])[v],
+            np.asarray(kp.y[batch_index])[v],
+            np.asarray(kp.score[batch_index])[v],
+        ]
+    )
+    return pts

@@ -1,0 +1,170 @@
+"""Training losses: detector position loss + hinge descriptor loss.
+
+Re-design of `/root/reference/python/src/losses.py` with two deliberate
+fixes (documented deviations — the reference versions are defective):
+
+* `masked_distance_loss` (`losses.py:40-63`) measures the squared cell-grid
+  distance between the **hard argmax** of the prediction and the target — a
+  piecewise-constant function with zero gradient for every in-cell target
+  (only dustbin targets contribute gradient through their CE term).  Here the
+  predicted position is the **soft-argmax** (probability-weighted expected
+  cell position), which preserves the distance-loss idea and is
+  differentiable.  The hard variant is available for eval parity.
+* The reference's `torch.where(target >= 64., classification_losses, losses)`
+  broadcasts a ``(B,1,Hc,Wc)`` tensor against ``(B,Hc,Wc)`` producing a
+  ``(B,B,Hc,Wc)`` cross-batch mixture (`losses.py:53-56`).  Here the select
+  is elementwise per sample, the evident intent.
+
+The descriptor hinge loss (`losses.py:194-276`) is reproduced exactly, but
+the ``B x Hc x Wc x Hc x Wc`` all-pairs dot-product — materialized in the
+reference by broadcast-multiply-reduce over a 6-D tensor, its memory hot
+spot (SURVEY.md §3.1) — is computed as a ``(B, N, N)`` batched GEMM on the
+MXU in float32.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from feature_point_cnn_tpu.config import SuperPointConfig
+from feature_point_cnn_tpu.geometry.homography import warp_points
+
+
+def _masked_mean(losses: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+    if mask is None:
+        return jnp.mean(losses)
+    mask = mask.astype(losses.dtype)
+    return jnp.sum(losses * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def detector_loss(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    valid_mask: Optional[jnp.ndarray],
+    cell: int,
+    kind: str = "distance",
+    hard_assignment: bool = False,
+) -> jnp.ndarray:
+    """Detector head loss.
+
+    Args:
+      logits: ``(B, Hc, Wc, 65)`` float.
+      targets: ``(B, Hc, Wc)`` int labels in ``[0, 64]``.
+      valid_mask: optional ``(B, Hc, Wc)`` in {0,1} (per-cell valid map).
+      kind: ``"distance"`` (reference deviation, see module doc) or ``"ce"``
+        (vanilla SuperPoint cross-entropy, `losses.py:30-37`).
+      hard_assignment: use the reference's non-differentiable argmax position
+        (for eval-metric parity only).
+    """
+    logits = logits.astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ce = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    if kind == "ce":
+        return _masked_mean(ce, valid_mask)
+
+    probs = jax.nn.softmax(logits, axis=-1)
+    idx = jnp.arange(logits.shape[-1], dtype=jnp.float32)
+    h_of = jnp.floor(idx / cell)           # dustbin (64) -> (8, 0), as reference
+    w_of = idx - h_of * cell
+    if hard_assignment:
+        pred = jnp.argmax(probs, axis=-1)
+        h_pred = jnp.floor(pred.astype(jnp.float32) / cell)
+        w_pred = pred.astype(jnp.float32) - h_pred * cell
+    else:
+        h_pred = jnp.einsum("...c,c->...", probs, h_of)
+        w_pred = jnp.einsum("...c,c->...", probs, w_of)
+
+    t = targets.astype(jnp.float32)
+    h_t = jnp.floor(t / cell)
+    w_t = t - h_t * cell
+    dist = ((h_t - h_pred) ** 2 + (w_t - w_pred) ** 2) / float(cell * cell)
+    losses = jnp.where(targets >= cell * cell, ce, dist)
+    return _masked_mean(losses, valid_mask)
+
+
+def _l2_normalize(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """torch F.normalize semantics: ``x / max(||x||, 1e-12)``."""
+    norm = jnp.linalg.norm(x, axis=axis, keepdims=True)
+    return x / jnp.maximum(norm, 1e-12)
+
+
+def descriptor_loss(
+    desc: jnp.ndarray,
+    warped_desc: jnp.ndarray,
+    homographies: jnp.ndarray,
+    valid_mask: Optional[jnp.ndarray],
+    config: SuperPointConfig,
+) -> jnp.ndarray:
+    """Hinge descriptor loss over all cell pairs (`losses.py:194-276`).
+
+    Args:
+      desc / warped_desc: ``(B, Hc, Wc, D)`` raw (unnormalized) descriptors.
+      homographies: ``(B, 8)`` flat homographies of the warped view.
+      valid_mask: optional ``(B, Hc, Wc)`` per-cell mask of the warped view.
+    """
+    b, hc, wc, dd = desc.shape
+    n = hc * wc
+    cell = config.cell
+
+    d = _l2_normalize(desc.reshape(b, n, dd).astype(jnp.float32), axis=-1)
+    wd = _l2_normalize(warped_desc.reshape(b, n, dd).astype(jnp.float32), axis=-1)
+    # dot[b, i, j]: descriptor at cell i (original) vs cell j (warped) — MXU GEMM
+    dot = jnp.einsum("bid,bjd->bij", d, wd, preferred_element_type=jnp.float32)
+    dot = jax.nn.relu(dot)
+    # reference double-normalization (losses.py:226-231): over warped cells,
+    # then over original cells
+    dot = _l2_normalize(dot, axis=2)
+    dot = _l2_normalize(dot, axis=1)
+
+    positive = jnp.maximum(0.0, config.positive_margin - dot)
+    negative = jnp.maximum(0.0, dot - config.negative_margin)
+
+    # correspondence mask s[b, i, j]: cell-center i warped into the warped
+    # frame lands within (cell - 0.5) px of cell-center j (losses.py:242-264)
+    ys, xs = jnp.meshgrid(jnp.arange(hc), jnp.arange(wc), indexing="ij")
+    centers = (
+        jnp.stack([ys, xs], axis=-1).reshape(n, 2).astype(jnp.float32) * cell
+        + cell // 2
+    )
+    warped_centers = warp_points(centers, homographies)        # (B, N, 2)
+    diff = warped_centers[:, :, None, :] - centers[None, None, :, :]
+    cell_dist = jnp.linalg.norm(diff, axis=-1)                 # (B, N, N)
+    s = (cell_dist < (cell - 0.5)).astype(jnp.float32)
+
+    loss = config.lambda_d * s * positive + (1.0 - s) * negative
+
+    if valid_mask is None:
+        mask = jnp.ones((b, n), jnp.float32)
+    else:
+        mask = valid_mask.reshape(b, n).astype(jnp.float32)
+    normalization = jnp.sum(mask) * float(n)
+    return jnp.sum(loss * mask[:, None, :]) / jnp.maximum(normalization, 1.0)
+
+
+def global_loss(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    warped_logits: jnp.ndarray,
+    warped_targets: jnp.ndarray,
+    desc: jnp.ndarray,
+    warped_desc: jnp.ndarray,
+    homographies: jnp.ndarray,
+    valid_mask: Optional[jnp.ndarray],
+    config: SuperPointConfig,
+) -> Dict[str, jnp.ndarray]:
+    """Joint SuperPoint loss (`losses.py:90-118`): detector on the normal view
+    (unmasked), detector on the warped view (masked), descriptor hinge."""
+    det = detector_loss(logits, targets, None, config.cell, config.detector_loss)
+    warped_det = detector_loss(
+        warped_logits, warped_targets, valid_mask, config.cell, config.detector_loss
+    )
+    desc_l = descriptor_loss(desc, warped_desc, homographies, valid_mask, config)
+    return {
+        "detector": det,
+        "warped_detector": warped_det,
+        "descriptor": desc_l,
+        "total": det + warped_det + desc_l,
+    }

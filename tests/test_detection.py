@@ -1,0 +1,140 @@
+"""Keypoint decode tests: iterative max-pool NMS vs a greedy oracle, and the
+full threshold/NMS/border/top-K extraction vs reference `get_points`
+semantics (`/root/reference/python/src/netutils.py:78-100`, `nms.py:4-53`).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from feature_point_cnn_tpu.config import SuperPointConfig
+from feature_point_cnn_tpu.ops import detection as D
+
+H, W = 48, 64
+
+
+def _greedy_nms_oracle(scores, dist):
+    """Reference greedy grid NMS semantics, independently in numpy."""
+    ys, xs = np.nonzero(scores > 0)
+    conf = scores[ys, xs]
+    order = np.argsort(-conf, kind="stable")
+    alive = np.ones(scores.shape, bool)
+    kept = np.zeros(scores.shape, bool)
+    for i in order:
+        y, x = ys[i], xs[i]
+        if not alive[y, x]:
+            continue
+        y0, y1 = max(y - dist, 0), min(y + dist + 1, scores.shape[0])
+        x0, x1 = max(x - dist, 0), min(x + dist + 1, scores.shape[1])
+        alive[y0:y1, x0:x1] = False
+        kept[y, x] = True
+    return np.where(kept, scores, 0.0)
+
+
+def _random_scores(rng, density=0.02):
+    scores = np.zeros((H, W), np.float32)
+    n = int(H * W * density)
+    ys = rng.integers(0, H, n)
+    xs = rng.integers(0, W, n)
+    scores[ys, xs] = rng.random(n).astype(np.float32) * 0.9 + 0.05
+    return scores
+
+
+def test_grid_nms_matches_greedy(rng):
+    for trial in range(8):
+        scores = _random_scores(rng, density=0.03 + 0.03 * trial)
+        want = _greedy_nms_oracle(scores, 4)
+        got = np.asarray(D.grid_nms(jnp.asarray(scores[None]), 4, num_iters=6))[0]
+        np.testing.assert_array_equal(got, want)
+
+
+def test_grid_nms_isolated_points_survive(rng):
+    scores = np.zeros((H, W), np.float32)
+    scores[10, 10] = 0.5
+    scores[30, 40] = 0.2
+    got = np.asarray(D.grid_nms(jnp.asarray(scores[None]), 4))[0]
+    np.testing.assert_array_equal(got, scores)
+
+
+def test_grid_nms_adjacent_suppression():
+    scores = np.zeros((H, W), np.float32)
+    scores[10, 10] = 0.5
+    scores[10, 13] = 0.4   # within dist 4 of the first -> suppressed
+    scores[10, 18] = 0.3   # outside window of kept (10,10) -> kept
+    got = np.asarray(D.grid_nms(jnp.asarray(scores[None]), 4))[0]
+    assert got[10, 10] == 0.5
+    assert got[10, 13] == 0.0
+    assert got[10, 18] == 0.3
+
+
+def test_grid_nms_chain():
+    """A > B > C in a line: greedy keeps A and C (B suppressed by A, C only
+    blocked by B which is gone) — needs >1 suppression round."""
+    scores = np.zeros((H, W), np.float32)
+    scores[20, 10] = 0.9   # A
+    scores[20, 13] = 0.8   # B (within 4 of A)
+    scores[20, 16] = 0.7   # C (within 4 of B, not of A)
+    got = np.asarray(D.grid_nms(jnp.asarray(scores[None]), 4, num_iters=4))[0]
+    assert got[20, 10] == np.float32(0.9)
+    assert got[20, 13] == 0.0
+    assert got[20, 16] == np.float32(0.7)
+
+
+def test_softmax65_matches_reference_formula(rng):
+    logits = jnp.asarray(rng.standard_normal((2, 3, 4, 65)) * 3, jnp.float32)
+    got = np.asarray(D.softmax65(logits))
+    l = np.asarray(logits, np.float64)
+    want = np.exp(l) / (np.exp(l).sum(-1, keepdims=True) + 1e-5)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    # large logits must not overflow (the reference formula would)
+    big = jnp.full((1, 1, 1, 65), 300.0)
+    assert np.isfinite(np.asarray(D.softmax65(big))).all()
+
+
+def test_extract_keypoints_matches_reference_pipeline(rng):
+    cfg = SuperPointConfig(max_keypoints=H * W)
+    prob = _random_scores(rng, 0.05)
+    # reference pipeline: thresh -> greedy NMS -> sort -> border strip
+    thresholded = np.where(prob >= cfg.confidence_thresh, prob, 0.0)
+    nmsed = _greedy_nms_oracle(thresholded, cfg.nms_dist)
+    br = cfg.border_remove
+    nmsed[:br, :] = 0
+    nmsed[-br:, :] = 0
+    nmsed[:, :br] = 0
+    nmsed[:, -br:] = 0
+    want = sorted(
+        [(-s, y, x) for (y, x), s in np.ndenumerate(nmsed) if s > 0]
+    )
+
+    kp = D.extract_keypoints(jnp.asarray(prob[None]), cfg)
+    n = int(kp.num[0])
+    assert n == len(want)
+    got = list(
+        zip(
+            -np.asarray(kp.score[0])[:n],
+            np.asarray(kp.y[0])[:n].astype(int),
+            np.asarray(kp.x[0])[:n].astype(int),
+        )
+    )
+    for (ws, wy, wx), (gs, gy, gx) in zip(want, got):
+        assert (wy, wx) == (gy, gx)
+        np.testing.assert_allclose(ws, gs, rtol=1e-6)
+    # invalid slots zeroed
+    assert np.all(np.asarray(kp.score[0])[n:] == 0)
+
+
+def test_extract_keypoints_fixed_k(rng):
+    cfg = SuperPointConfig(max_keypoints=16)
+    prob = jnp.asarray(_random_scores(rng, 0.1)[None])
+    kp = D.extract_keypoints(prob, cfg)
+    assert kp.y.shape == (1, 16)
+    # scores descending
+    s = np.asarray(kp.score[0])
+    assert np.all(np.diff(s) <= 1e-9)
+
+
+def test_decode_prob_map_places_cell_probability():
+    logits = jnp.full((1, 2, 2, 65), -10.0).at[0, 0, 0, 9].set(10.0)
+    prob = D.decode_prob_map(logits, 8)
+    assert prob.shape == (1, 16, 16)
+    assert np.asarray(prob)[0, 1, 1] > 0.99  # class 9 = (dy=1, dx=1)
