@@ -259,8 +259,9 @@ def erode(mask: jnp.ndarray, radius: int) -> jnp.ndarray:
     """
     if radius <= 0:
         return mask
-    kernel = jnp.asarray(ellipse_kernel(radius))
-    ksum = float(kernel.sum())
+    np_kernel = ellipse_kernel(radius)
+    ksum = float(np_kernel.sum())       # host-side: stays concrete under trace
+    kernel = jnp.asarray(np_kernel)
     squeeze = mask.ndim == 2
     x = mask[None] if squeeze else mask
     x4 = x[..., None].astype(jnp.float32)                     # (B, H, W, 1)

@@ -1,0 +1,224 @@
+"""Jitted training / evaluation steps.
+
+One XLA program per step, containing everything the reference spreads over
+DataLoader workers + autocast + host-side augmentation
+(`/root/reference/python/src/basetrainer.py:96-195`,
+`coco_dataset.py:27-40`):
+
+* label encoding on device (``make_points_labels_batch``);
+* for the SuperPoint phase, homographic augmentation (sampling, image warp,
+  valid-mask erosion, point warp) on device per batch;
+* the two views are concatenated into ONE forward of ``2B`` images — a TPU
+  optimization over the reference's two sequential forwards
+  (`superpointtrainer.py:24-25`); BatchNorm train-mode statistics therefore
+  pool both views (documented deviation);
+* bf16 compute replaces AMP/GradScaler; f32 master params and losses.
+
+States are plain pytrees (`TrainState`), steps are pure functions — `jit`
+with donation at the call site.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from feature_point_cnn_tpu.config import HomographyConfig, SuperPointConfig
+from feature_point_cnn_tpu.geometry.homography import homographic_augmentation_batch
+from feature_point_cnn_tpu.ops.labels import (
+    make_points_labels_batch,
+    scale_valid_map,
+)
+from feature_point_cnn_tpu.train.loss import detector_loss, global_loss
+from feature_point_cnn_tpu.utils.metrics import samplewise_f1
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def create_train_state(variables, tx) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+    )
+
+
+def _apply(model, params, batch_stats, images, train, enable_descriptor):
+    out, mutated = model.apply(
+        {"params": params, "batch_stats": batch_stats},
+        images,
+        train=train,
+        enable_descriptor=enable_descriptor,
+        mutable=["batch_stats"] if train else [],
+    )
+    new_stats = mutated["batch_stats"] if train else batch_stats
+    return out, new_stats
+
+
+# ---------------------------------------------------------------------------
+# MagicPoint phase: detector-only on (image, points) batches
+# (`magicpointtrainer.py:18-34`)
+# ---------------------------------------------------------------------------
+
+def magicpoint_train_step(
+    state: TrainState,
+    batch: Dict[str, jnp.ndarray],
+    key: jax.Array,
+    *,
+    model,
+    tx,
+    config: SuperPointConfig,
+) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    images = batch["image"]
+    b, h, w, _ = images.shape
+    labels = make_points_labels_batch(
+        batch["points"], batch["points_valid"], key, h, w, config.cell
+    )
+
+    def loss_fn(params):
+        (prob, _, logits), new_stats = _apply(
+            model, params, state.batch_stats, images, True, False
+        )
+        loss = detector_loss(
+            logits, labels, None, config.cell, config.detector_loss
+        )
+        return loss, (new_stats, logits)
+
+    (loss, (new_stats, logits)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(state.params)
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    metrics = {
+        "loss": loss,
+        "detector_loss": loss,
+        "f1": samplewise_f1(logits, labels),
+    }
+    return (
+        TrainState(state.step + 1, params, new_stats, new_opt),
+        metrics,
+    )
+
+
+def magicpoint_eval_step(
+    state: TrainState,
+    batch: Dict[str, jnp.ndarray],
+    key: jax.Array,
+    *,
+    model,
+    config: SuperPointConfig,
+) -> Dict[str, jnp.ndarray]:
+    images = batch["image"]
+    b, h, w, _ = images.shape
+    labels = make_points_labels_batch(
+        batch["points"], batch["points_valid"], key, h, w, config.cell
+    )
+    (_, _, logits), _ = _apply(
+        model, state.params, state.batch_stats, images, False, False
+    )
+    loss = detector_loss(logits, labels, None, config.cell, config.detector_loss)
+    return {"loss": loss, "f1": samplewise_f1(logits, labels)}
+
+
+# ---------------------------------------------------------------------------
+# SuperPoint phase: joint detector+descriptor on augmented pairs
+# (`superpointtrainer.py:22-51`); augmentation on device
+# ---------------------------------------------------------------------------
+
+def _augment_and_encode(batch, key, config, homo_config):
+    images = batch["image"]
+    b, h, w, _ = images.shape
+    k_aug, k_lab, k_wlab = jax.random.split(key, 3)
+    warped, wpoints, wvalid, valid_mask, homog = homographic_augmentation_batch(
+        k_aug, images, batch["points"], batch["points_valid"], homo_config
+    )
+    labels = make_points_labels_batch(
+        batch["points"], batch["points_valid"], k_lab, h, w, config.cell
+    )
+    wlabels = make_points_labels_batch(
+        wpoints, wvalid, k_wlab, h, w, config.cell
+    )
+    cell_mask = scale_valid_map(valid_mask, config.cell)       # (B, Hc, Wc)
+    return warped, labels, wlabels, cell_mask, homog
+
+
+def superpoint_train_step(
+    state: TrainState,
+    batch: Dict[str, jnp.ndarray],
+    key: jax.Array,
+    *,
+    model,
+    tx,
+    config: SuperPointConfig,
+    homo_config: HomographyConfig = HomographyConfig(),
+) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    images = batch["image"]
+    b = images.shape[0]
+    warped, labels, wlabels, cell_mask, homog = _augment_and_encode(
+        batch, key, config, homo_config
+    )
+    both = jnp.concatenate([images, warped], axis=0)           # (2B, H, W, C)
+
+    def loss_fn(params):
+        (_, desc2, logits2), new_stats = _apply(
+            model, params, state.batch_stats, both, True, True
+        )
+        logits, wlogits = logits2[:b], logits2[b:]
+        desc, wdesc = desc2[:b], desc2[b:]
+        losses = global_loss(
+            logits, labels, wlogits, wlabels, desc, wdesc, homog,
+            cell_mask, config,
+        )
+        return losses["total"], (new_stats, losses, logits)
+
+    (loss, (new_stats, losses, logits)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(state.params)
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    metrics = {
+        "loss": loss,
+        "detector_loss": losses["detector"] + losses["warped_detector"],
+        "descriptor_loss": losses["descriptor"],
+        "f1": samplewise_f1(logits, labels),
+    }
+    return TrainState(state.step + 1, params, new_stats, new_opt), metrics
+
+
+def superpoint_eval_step(
+    state: TrainState,
+    batch: Dict[str, jnp.ndarray],
+    key: jax.Array,
+    *,
+    model,
+    config: SuperPointConfig,
+    homo_config: HomographyConfig = HomographyConfig(),
+) -> Dict[str, jnp.ndarray]:
+    images = batch["image"]
+    b = images.shape[0]
+    warped, labels, wlabels, cell_mask, homog = _augment_and_encode(
+        batch, key, config, homo_config
+    )
+    both = jnp.concatenate([images, warped], axis=0)
+    (_, desc2, logits2), _ = _apply(
+        model, state.params, state.batch_stats, both, False, True
+    )
+    losses = global_loss(
+        logits2[:b], labels, logits2[b:], wlabels, desc2[:b], desc2[b:],
+        homog, cell_mask, config,
+    )
+    return {
+        "loss": losses["total"],
+        "descriptor_loss": losses["descriptor"],
+        "f1": samplewise_f1(logits2[:b], labels),
+    }

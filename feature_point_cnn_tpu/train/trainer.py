@@ -1,0 +1,190 @@
+"""Training driver: epoch loop, data-parallel dispatch, checkpoint/resume,
+metrics — the TPU-native counterpart of
+`/root/reference/python/src/basetrainer.py` + `trainwrapper.py` +
+`magicpointtrainer.py` + `superpointtrainer.py`.
+
+Differences by design:
+
+* the whole inner step (labels, augmentation, forward, loss, update) is ONE
+  jitted XLA program with donated state — no AMP scaler, no host-side
+  augmentation workers;
+* data parallelism over a `jax.sharding.Mesh` (batch sharded, state
+  replicated); the same code path drives 1 chip or a slice;
+* orbax step-indexed checkpoints with auto-resume
+  (`basetrainer.py:229-236`), MagicPoint -> SuperPoint partial-restore
+  hand-off (`superpointtrainer.py:15-20`).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from feature_point_cnn_tpu.config import HomographyConfig, SuperPointConfig
+from feature_point_cnn_tpu.data.datasets import BatchLoader
+from feature_point_cnn_tpu.models.superpoint import init_superpoint
+from feature_point_cnn_tpu.parallel.mesh import (
+    make_mesh,
+    replicate_state,
+    shard_batch,
+)
+from feature_point_cnn_tpu.train import steps as S
+from feature_point_cnn_tpu.train.optimizer import make_optimizer
+from feature_point_cnn_tpu.utils import checkpoint as ckpt
+from feature_point_cnn_tpu.utils.summary import MetricWriter
+
+
+class Trainer:
+    """Phase-agnostic trainer; ``phase`` is ``"magicpoint"`` or
+    ``"superpoint"``."""
+
+    def __init__(
+        self,
+        config: SuperPointConfig,
+        phase: str,
+        train_loader: BatchLoader,
+        test_loader: Optional[BatchLoader],
+        checkpoint_dir: str,
+        magicpoint_checkpoint_dir: Optional[str] = None,
+        homo_config: HomographyConfig = HomographyConfig(),
+        seed: int = 0,
+        n_devices: Optional[int] = None,
+        write_statistics: bool = True,
+        log_every: int = 50,
+    ):
+        assert phase in ("magicpoint", "superpoint"), phase
+        self.config = config
+        self.phase = phase
+        self.train_loader = train_loader
+        self.test_loader = test_loader
+        self.homo_config = homo_config
+        self.base_key = jax.random.PRNGKey(seed)
+        self.log_every = log_every
+
+        self.mesh = make_mesh(n_devices, batch_size=train_loader.batch_size)
+        self.model, variables = init_superpoint(
+            jax.random.fold_in(self.base_key, 17), config
+        )
+        frozen = "descriptor" if phase == "magicpoint" else None
+        self.tx = make_optimizer(config, variables["params"], frozen_subtree=frozen)
+        state = S.create_train_state(variables, self.tx)
+
+        # resume / phase hand-off
+        self.manager = ckpt.checkpoint_manager(checkpoint_dir)
+        self.start_epoch = 0
+        restored_epoch, state = ckpt.restore_latest(self.manager, state)
+        if restored_epoch is not None:
+            self.start_epoch = restored_epoch + 1
+            print(f"[trainer] resumed epoch {restored_epoch} from {checkpoint_dir}")
+        elif phase == "superpoint" and magicpoint_checkpoint_dir:
+            mp_manager = ckpt.checkpoint_manager(magicpoint_checkpoint_dir)
+            # raw restore: the MagicPoint optimizer state (frozen descriptor)
+            # has a different structure than ours; only params/stats matter
+            mp_epoch, mp_raw = ckpt.restore_latest_raw(mp_manager)
+            if mp_epoch is not None:
+                params, stats = ckpt.graft_pretrained(
+                    state.params, state.batch_stats,
+                    mp_raw["params"], mp_raw["batch_stats"],
+                )
+                state = state.replace(params=params, batch_stats=stats)
+                print(
+                    f"[trainer] grafted MagicPoint weights (epoch {mp_epoch}) "
+                    f"from {magicpoint_checkpoint_dir}; descriptor head fresh"
+                )
+            else:
+                print("[trainer] WARNING: no MagicPoint checkpoint found")
+
+        self.state = replicate_state(state, self.mesh)
+        self.writer = MetricWriter(
+            f"{checkpoint_dir}/runs" if write_statistics else None
+        )
+
+        if phase == "magicpoint":
+            train_fn = functools.partial(
+                S.magicpoint_train_step, model=self.model, tx=self.tx, config=config
+            )
+            eval_fn = functools.partial(
+                S.magicpoint_eval_step, model=self.model, config=config
+            )
+        else:
+            train_fn = functools.partial(
+                S.superpoint_train_step,
+                model=self.model, tx=self.tx, config=config, homo_config=homo_config,
+            )
+            eval_fn = functools.partial(
+                S.superpoint_eval_step,
+                model=self.model, config=config, homo_config=homo_config,
+            )
+        self._train_step = jax.jit(train_fn, donate_argnums=(0,))
+        self._eval_step = jax.jit(eval_fn)
+
+    # ------------------------------------------------------------------
+
+    def _key(self, tag: int, index: int) -> jax.Array:
+        return jax.random.fold_in(jax.random.fold_in(self.base_key, tag), index)
+
+    def train_epoch(self, epoch: int) -> Dict[str, float]:
+        logged = []
+        t0 = time.time()
+        for i, batch in enumerate(self.train_loader.epoch(epoch)):
+            batch = shard_batch(batch, self.mesh)
+            self.state, metrics = self._train_step(
+                self.state, batch, self._key(epoch, i)
+            )
+            # fetch metrics (a device sync) only at logging points
+            if (i + 1) % self.log_every == 0 or i == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                logged.append(m)
+                step = int(self.state.step)
+                for k, v in m.items():
+                    self.writer.scalar(f"train/{k}", v, step)
+                rate = (i + 1) * batch["image"].shape[0] / (time.time() - t0)
+                print(
+                    f"[{self.phase}] epoch {epoch} step {i + 1}/"
+                    f"{len(self.train_loader)} loss {m['loss']:.4f} "
+                    f"({rate:.1f} img/s)"
+                )
+        if not logged:
+            return {}
+        return {
+            k: float(np.mean([m[k] for m in logged])) for k in logged[0]
+        }
+
+    def evaluate(self, epoch: int) -> Dict[str, float]:
+        if self.test_loader is None:
+            return {}
+        sums: Dict[str, float] = {}
+        n = 0
+        for i, batch in enumerate(self.test_loader.epoch(0)):
+            batch = shard_batch(batch, self.mesh)
+            metrics = self._eval_step(self.state, batch, self._key(10_000 + epoch, i))
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            n += 1
+        out = {k: v / max(n, 1) for k, v in sums.items()}
+        for k, v in out.items():
+            self.writer.scalar(f"test/{k}", v, epoch)
+        return out
+
+    def save(self, epoch: int) -> None:
+        host_state = jax.device_get(self.state)
+        ckpt.save_state(self.manager, epoch, host_state)
+
+    def train(self, epochs: Optional[int] = None) -> None:
+        epochs = epochs or self.config.epochs
+        end = self.start_epoch + epochs
+        for epoch in range(self.start_epoch, end):
+            print(f"=== {self.phase} epoch {epoch} ===")
+            self.train_epoch(epoch)
+            test = self.evaluate(epoch)
+            if test:
+                print(
+                    f"[{self.phase}] epoch {epoch} test "
+                    + " ".join(f"{k}={v:.4f}" for k, v in test.items())
+                )
+            self.save(epoch)
+        self.writer.close()

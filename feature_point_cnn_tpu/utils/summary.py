@@ -1,0 +1,59 @@
+"""Metric/observability writer.
+
+Covers the reference's TensorBoard usage (`/root/reference/python/src/
+basetrainer.py:22-23,248-261,265-283`): scalars per epoch/step, param/grad
+histograms, rendered keypoint images.  Backend is torch's SummaryWriter when
+available, with a dependency-free JSONL fallback so headless training never
+loses metrics.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+
+class MetricWriter:
+    def __init__(self, log_dir: Optional[str], backend: str = "auto"):
+        self._tb = None
+        self._jsonl = None
+        if log_dir is None:
+            return
+        Path(log_dir).mkdir(parents=True, exist_ok=True)
+        if backend in ("auto", "tensorboard"):
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(log_dir=log_dir)
+            except Exception:
+                pass
+        self._jsonl = open(Path(log_dir) / "metrics.jsonl", "a")
+
+    def scalar(self, tag: str, value: float, step: int) -> None:
+        value = float(value)
+        if self._tb is not None:
+            self._tb.add_scalar(tag, value, step)
+        if self._jsonl is not None:
+            self._jsonl.write(
+                json.dumps({"t": time.time(), "step": step, tag: value}) + "\n"
+            )
+            self._jsonl.flush()
+
+    def image(self, tag: str, image_hwc: np.ndarray, step: int) -> None:
+        if self._tb is not None:
+            self._tb.add_image(tag, image_hwc.transpose(2, 0, 1), step)
+
+    def histogram(self, tag: str, values: np.ndarray, step: int) -> None:
+        if self._tb is not None:
+            self._tb.add_histogram(tag, values, step)
+
+    def close(self) -> None:
+        if self._tb is not None:
+            self._tb.flush()
+            self._tb.close()
+        if self._jsonl is not None:
+            self._jsonl.close()

@@ -1,0 +1,178 @@
+"""Training smoke tests: loss decreases on a tiny synthetic set, the
+SuperPoint joint step runs finite on-device augmentation, freeze/decay
+masks match the reference rules, checkpoint resume and phase graft work."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from feature_point_cnn_tpu.config import HomographyConfig, SuperPointConfig
+from feature_point_cnn_tpu.data.datasets import BatchLoader, NpzPointDataset
+from feature_point_cnn_tpu.data.synthetic_shapes import (
+    PRIMITIVES,
+    SyntheticShapeGenerator,
+)
+from feature_point_cnn_tpu.models.superpoint import init_superpoint
+from feature_point_cnn_tpu.train import steps as S
+from feature_point_cnn_tpu.train.optimizer import decay_mask, make_optimizer
+from feature_point_cnn_tpu.train.trainer import Trainer
+
+CFG = SuperPointConfig(
+    train_image_size=(48, 64),
+    batch_size=4,
+    max_points=64,
+    max_keypoints=64,
+    compute_dtype="float32",   # CPU test speed; bf16 on TPU
+)
+HOMO = HomographyConfig(valid_border_margin=4)
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("train_synth")
+    gen = SyntheticShapeGenerator(
+        np.random.default_rng(1), image_size=(192, 256), out_size=(48, 64), blur_size=5
+    )
+    for split, n in (("train", 16), ("test", 8)):
+        d = root / split
+        d.mkdir()
+        for i in range(n):
+            prim = PRIMITIVES[i % 4]  # corner-rich primitives only
+            image, points = gen.sample(prim)
+            np.savez_compressed(d / f"{prim}_{i}.npz", image=image, points=points)
+    return root
+
+
+def _loaders(root):
+    train = BatchLoader(
+        NpzPointDataset(str(root), "train"), CFG.batch_size, CFG.max_points
+    )
+    test = BatchLoader(
+        NpzPointDataset(str(root), "test"), CFG.batch_size, CFG.max_points,
+        shuffle=False,
+    )
+    return train, test
+
+
+def test_decay_mask_rules():
+    _, variables = init_superpoint(jax.random.PRNGKey(0), CFG)
+    mask = decay_mask(variables["params"])
+    flat = jax.tree_util.tree_flatten_with_path(mask)[0]
+    decayed = {"/".join(str(getattr(k, "key", k)) for k in p): v for p, v in flat}
+    assert decayed["encoder/conv1/kernel"] is True
+    assert decayed["encoder/bn1/scale"] is False
+    assert decayed["encoder/layer1/block0/identity_conv/kernel"] is False
+    assert decayed["descriptor/up_sample/bias"] is False
+    assert decayed["descriptor/up_sample/kernel"] is True
+
+
+@pytest.fixture(scope="module")
+def mp_trained(tiny_dataset):
+    """Train MagicPoint for 6 tiny epochs and checkpoint epoch 5."""
+    train, _ = _loaders(tiny_dataset)
+    trainer = Trainer(
+        CFG, "magicpoint", train, None,
+        checkpoint_dir=str(tiny_dataset / "ckpt_mp"),
+        write_statistics=False, log_every=4,
+    )
+    losses = [trainer.train_epoch(e)["loss"] for e in range(6)]
+    trainer.save(5)
+    return trainer, losses
+
+
+def test_magicpoint_loss_decreases(mp_trained):
+    trainer, losses = mp_trained
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.9, losses
+
+    # descriptor head must be untouched (frozen) in this phase
+    _, fresh = init_superpoint(jax.random.fold_in(trainer.base_key, 17), CFG)
+    same = jax.tree_util.tree_map(
+        lambda a, b: np.allclose(np.asarray(a), np.asarray(b)),
+        trainer.state.params["descriptor"], fresh["params"]["descriptor"],
+    )
+    assert all(jax.tree_util.tree_leaves(same))
+
+
+def test_resume_and_superpoint_graft(tiny_dataset, mp_trained):
+    train, test = _loaders(tiny_dataset)
+    # resume magicpoint from the checkpoint the fixture wrote
+    t2 = Trainer(
+        CFG, "magicpoint", train, None,
+        checkpoint_dir=str(tiny_dataset / "ckpt_mp"),
+        write_statistics=False,
+    )
+    assert t2.start_epoch == 6
+
+    # superpoint phase grafts encoder+detector, fresh descriptor
+    sp = Trainer(
+        CFG, "superpoint", train, test,
+        checkpoint_dir=str(tiny_dataset / "ckpt_sp"),
+        magicpoint_checkpoint_dir=str(tiny_dataset / "ckpt_mp"),
+        homo_config=HOMO,
+        write_statistics=False, log_every=2,
+    )
+    enc_equal = jax.tree_util.tree_map(
+        lambda a, b: np.allclose(np.asarray(a), np.asarray(b)),
+        sp.state.params["encoder"], t2.state.params["encoder"],
+    )
+    assert all(jax.tree_util.tree_leaves(enc_equal))
+
+    m = sp.train_epoch(0)
+    assert np.isfinite(m["loss"])
+    ev = sp.evaluate(0)
+    assert np.isfinite(ev["loss"]) and 0.0 <= ev["f1"] <= 1.0
+
+
+def test_superpoint_step_runs_standalone(rng):
+    """One jitted joint step end-to-end with on-device augmentation."""
+    model, variables = init_superpoint(jax.random.PRNGKey(0), CFG)
+    tx = make_optimizer(CFG, variables["params"])
+    state = S.create_train_state(variables, tx)
+    batch = {
+        "image": jnp.asarray(rng.random((2, 48, 64, 3)), jnp.float32),
+        "points": jnp.asarray(rng.random((2, 16, 2)) * [47, 63], jnp.float32),
+        "points_valid": jnp.ones((2, 16), bool),
+    }
+    state2, metrics = S.superpoint_train_step(
+        state, batch, jax.random.PRNGKey(1),
+        model=model, tx=tx, config=CFG, homo_config=HOMO,
+    )
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state2.step) == 1
+    # params actually moved
+    moved = jax.tree_util.tree_map(
+        lambda a, b: not np.allclose(np.asarray(a), np.asarray(b)),
+        state.params["encoder"], state2.params["encoder"],
+    )
+    assert any(jax.tree_util.tree_leaves(moved))
+
+
+def test_grad_accum_multisteps(rng):
+    cfg = CFG.replace(grad_accum_steps=2)
+    model, variables = init_superpoint(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer(cfg, variables["params"])
+    state = S.create_train_state(variables, tx)
+    batch = {
+        "image": jnp.asarray(rng.random((2, 48, 64, 3)), jnp.float32),
+        "points": jnp.asarray(rng.random((2, 8, 2)) * [47, 63], jnp.float32),
+        "points_valid": jnp.ones((2, 8), bool),
+    }
+    s1, _ = S.magicpoint_train_step(
+        state, batch, jax.random.PRNGKey(1), model=model, tx=tx, config=cfg
+    )
+    # after one micro-step params must be unchanged (accumulating)
+    unchanged = jax.tree_util.tree_map(
+        lambda a, b: np.allclose(np.asarray(a), np.asarray(b)),
+        state.params, s1.params,
+    )
+    assert all(jax.tree_util.tree_leaves(unchanged))
+    s2, _ = S.magicpoint_train_step(
+        s1, batch, jax.random.PRNGKey(2), model=model, tx=tx, config=cfg
+    )
+    changed = jax.tree_util.tree_map(
+        lambda a, b: not np.allclose(np.asarray(a), np.asarray(b)),
+        s1.params["encoder"], s2.params["encoder"],
+    )
+    assert any(jax.tree_util.tree_leaves(changed))
