@@ -1,0 +1,77 @@
+"""Benchmark: detect+describe+match frames/sec/chip on real hardware.
+
+Measures the full serving pipeline at the reference C++ app's operating
+point — fixed 480x640 input (`/root/reference/cpp/src/superpoint.cc:20-26`),
+`conf_thresh=0.015, nms_dist=4, cell=8, border=4` — as ONE jitted program:
+model forward + softmax/depth-to-space decode + NMS + top-K + bilinear
+descriptor sampling + mutual-nearest-neighbor matching against a keyframe.
+
+The reference publishes no numbers (BASELINE.md); `vs_baseline` is reported
+against the 30 FPS real-time webcam rate its live demos target
+(`inference.py:107-110`, `main.cc:104-111`).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "frames/s/chip", "vs_baseline": N}
+"""
+
+import functools
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from feature_point_cnn_tpu.config import SuperPointConfig
+    from feature_point_cnn_tpu.inference.wrapper import extract_fn
+    from feature_point_cnn_tpu.models.superpoint import init_superpoint
+    from feature_point_cnn_tpu.ops.matching import mnn_match
+
+    h, w = 480, 640
+    cfg = SuperPointConfig(max_keypoints=1024)
+    model, variables = init_superpoint(jax.random.PRNGKey(0), cfg, (h, w))
+
+    extract = functools.partial(extract_fn, model=model, config=cfg)
+
+    def frame_fn(variables, image, key_desc, key_valid):
+        kp, desc = extract(variables, image)
+        m = mnn_match(desc[0], kp.valid[0], key_desc, key_valid)
+        return kp, desc, m
+
+    frame_jit = jax.jit(frame_fn)
+
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(rng.random((1, h, w, 3)), jnp.float32)
+    kp0, desc0 = jax.jit(extract)(variables, image)
+    key_desc, key_valid = desc0[0], kp0.valid[0]
+
+    # warmup / compile
+    out = frame_jit(variables, image, key_desc, key_valid)
+    jax.block_until_ready(out)
+
+    iters = 100
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = frame_jit(variables, image, key_desc, key_valid)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    fps = iters / dt
+
+    device = jax.devices()[0]
+    print(
+        json.dumps(
+            {
+                "metric": f"detect_describe_match_fps_{h}x{w}_b1_{device.platform}",
+                "value": round(fps, 2),
+                "unit": "frames/s/chip",
+                "vs_baseline": round(fps / 30.0, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

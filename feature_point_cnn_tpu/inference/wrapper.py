@@ -1,0 +1,145 @@
+"""Serving front-end: one jitted program from image to keypoints+descriptors.
+
+Equivalent of `/root/reference/python/src/inferencewrapper.py`, with the
+whole decode fused: forward -> softmax/depth-to-space -> NMS -> top-K ->
+bilinear descriptor sampling is a single XLA executable (the reference hops
+device->host between each stage, `inferencewrapper.py:29-46`).  Model export
+("trace", `inferencewrapper.py:83-91`) becomes StableHLO serialization via
+`jax.export` — the TPU-native analog of TorchScript.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from feature_point_cnn_tpu.config import HomographyConfig, SuperPointConfig
+from feature_point_cnn_tpu.models.superpoint import SuperPoint, init_superpoint
+from feature_point_cnn_tpu.ops.descriptors import sample_descriptors
+from feature_point_cnn_tpu.ops.detection import (
+    Keypoints,
+    extract_keypoints,
+    keypoints_to_numpy,
+)
+from feature_point_cnn_tpu.selflabel.adaptation import homography_adaptation
+from feature_point_cnn_tpu.utils import checkpoint as ckpt
+
+
+def extract_fn(
+    variables: dict, images: jnp.ndarray, *, model: SuperPoint,
+    config: SuperPointConfig,
+) -> Tuple[Keypoints, jnp.ndarray]:
+    """The fused serving program (pure; jit at the call site)."""
+    h, w = images.shape[1:3]
+    prob, desc_map, _ = model.apply(variables, images, train=False)
+    kp = extract_keypoints(prob, config)
+    desc = sample_descriptors(desc_map, kp, h, w)
+    return kp, desc
+
+
+def adaptation_fn(
+    variables: dict, images: jnp.ndarray, key: jax.Array, *,
+    model: SuperPoint, homo_config: HomographyConfig,
+) -> jnp.ndarray:
+    prob_fn = lambda x: model.apply(variables, x, train=False)[0]
+    return homography_adaptation(key, images, prob_fn, homo_config)
+
+
+def load_variables(
+    config: SuperPointConfig, checkpoint_dir: str
+) -> Tuple[int, dict]:
+    """Latest trainer checkpoint -> inference variables
+    (`saveutils.py:6-18` equivalent)."""
+    step, raw = ckpt.restore_latest_raw(ckpt.checkpoint_manager(checkpoint_dir))
+    if step is None:
+        raise FileNotFoundError(f"no checkpoint under {checkpoint_dir}")
+    return step, {"params": raw["params"], "batch_stats": raw["batch_stats"]}
+
+
+class SuperPointFrontend:
+    """Loads weights once; jitted programs cache per input shape."""
+
+    def __init__(
+        self,
+        config: SuperPointConfig = SuperPointConfig(),
+        checkpoint_dir: Optional[str] = None,
+        variables: Optional[dict] = None,
+        seed: int = 0,
+    ):
+        self.config = config
+        self.model = SuperPoint(config=config)
+        if variables is None:
+            _, variables = init_superpoint(jax.random.PRNGKey(seed), config)
+            if checkpoint_dir is not None:
+                step, variables = load_variables(config, checkpoint_dir)
+                print(
+                    f"[frontend] loaded checkpoint step {step} from {checkpoint_dir}"
+                )
+        self.variables = variables
+        self._extract = jax.jit(
+            functools.partial(extract_fn, model=self.model, config=config)
+        )
+        self._adapt = jax.jit(
+            functools.partial(adaptation_fn, model=self.model),
+            static_argnames=("homo_config",),
+        )
+
+    # ------------------------------------------------------------------
+
+    def extract(self, images) -> Tuple[Keypoints, jnp.ndarray]:
+        """Batched fixed-K extraction: ``(B, H, W, 3) -> (Keypoints, desc
+        (B, K, D))`` — all on device."""
+        return self._extract(self.variables, jnp.asarray(images, jnp.float32))
+
+    def run(self, img: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """Single-image convenience in the reference's layout
+        (`inferencewrapper.py:29-46`): ``img (H, W, 3) float32 [0,1]`` ->
+        ``(points (3, N) [x, y, conf], desc (D, N))``."""
+        kp, desc = self.extract(np.asarray(img)[None])
+        pts = keypoints_to_numpy(kp, 0)
+        v = np.asarray(kp.valid[0])
+        return pts, np.asarray(desc[0])[v].T
+
+    def run_with_homography_adaptation(
+        self,
+        images: np.ndarray,
+        homo_config: HomographyConfig,
+        key: jax.Array,
+    ):
+        """Self-labeling pass (`inferencewrapper.py:48-68`): aggregated
+        probabilities -> per-image ragged ``(3, N)`` point arrays."""
+        prob = self._adapt(
+            self.variables, jnp.asarray(images, jnp.float32), key,
+            homo_config=homo_config,
+        )
+        kp = extract_keypoints(prob, self.config)
+        return [keypoints_to_numpy(kp, i) for i in range(images.shape[0])]
+
+    # ------------------------------------------------------------------
+
+    def export_stablehlo(self, path: str, image_size: Tuple[int, int]) -> None:
+        """Serialize the fused extract program as portable StableHLO bytes —
+        the TPU-native analog of the TorchScript trace consumed by the C++
+        app (`inferencewrapper.py:83-91`, `cpp/src/superpoint.cc:11-26`)."""
+        from jax import export as jax_export
+
+        h, w = image_size
+        spec = jax.ShapeDtypeStruct(
+            (1, h, w, self.config.image_channels), jnp.float32
+        )
+        fn = functools.partial(extract_fn, model=self.model, config=self.config)
+
+        def flat_fn(im):
+            # flat-tuple ABI (y, x, score, valid, desc): serializable and
+            # directly consumable by a native (C/C++) runtime
+            kp, desc = fn(self.variables, im)
+            return kp.y, kp.x, kp.score, kp.valid, desc
+
+        exported = jax_export.export(jax.jit(flat_fn))(spec)
+        with open(path, "wb") as f:
+            f.write(exported.serialize())
+        print(f"[frontend] exported StableHLO ({h}x{w}) to {path}")

@@ -1,0 +1,157 @@
+"""Command-line entry point.
+
+Covers the reference CLI (`/root/reference/python/main.py`):
+
+  python -m feature_point_cnn_tpu.main train --synthetic-path D      # MagicPoint
+  python -m feature_point_cnn_tpu.main train --coco-path D --generate-points \
+      --magic-point-weights CKPT                                     # self-label
+  python -m feature_point_cnn_tpu.main train --coco-path D \
+      --magic-point-weights CKPT                                     # SuperPoint
+  python -m feature_point_cnn_tpu.main train --coco-path D --magic-point
+  python -m feature_point_cnn_tpu.main inference --weights-path CKPT [--source 0]
+  python -m feature_point_cnn_tpu.main export --weights-path CKPT --out model.shlo
+
+Weights paths are orbax checkpoint *directories* (see utils/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from feature_point_cnn_tpu.config import SuperPointConfig
+
+
+def build_parser() -> argparse.ArgumentParser:
+    cfg = SuperPointConfig()
+    p = argparse.ArgumentParser(description="TPU-native SuperPoint framework")
+    p.add_argument("--H", type=int, default=480)
+    p.add_argument("--W", type=int, default=640)
+    p.add_argument("--nms-dist", type=int, default=cfg.nms_dist)
+    p.add_argument("--conf-thresh", type=float, default=cfg.confidence_thresh)
+    p.add_argument("--nn-thresh", type=float, default=cfg.nn_thresh)
+    p.add_argument("--max-keypoints", type=int, default=cfg.max_keypoints)
+    p.add_argument("--no-write-statistics", action="store_true")
+
+    sub = p.add_subparsers(dest="run_mode", required=True)
+
+    inf = sub.add_parser("inference")
+    inf.add_argument("--weights-path", required=True,
+                     help="orbax checkpoint directory")
+    inf.add_argument("--source", default="synthetic",
+                     help="'synthetic', camera id, or video path")
+    inf.add_argument("--max-frames", type=int, default=0)
+    inf.add_argument("--no-show", action="store_true")
+
+    tr = sub.add_parser("train")
+    tr.add_argument("--checkpoint-path", default="checkpoints")
+    tr.add_argument("--batch-size", type=int, default=cfg.batch_size)
+    tr.add_argument("--grad-accum-steps", type=int, default=1)
+    tr.add_argument("--epochs", type=int, default=cfg.epochs)
+    tr.add_argument("--magic-point", action="store_true")
+    tr.add_argument("--synthetic-path")
+    tr.add_argument("--coco-path")
+    tr.add_argument("--generate-points", action="store_true")
+    tr.add_argument("--magic-point-weights", default="checkpoints_magicpoint")
+    tr.add_argument("--limit", type=int, default=0,
+                    help="cap items for self-labeling (debug)")
+
+    ex = sub.add_parser("export")
+    ex.add_argument("--weights-path", required=True)
+    ex.add_argument("--out", default="superpoint_extract.shlo")
+    return p
+
+
+def config_from_args(opt) -> SuperPointConfig:
+    cfg = SuperPointConfig(
+        nms_dist=opt.nms_dist,
+        confidence_thresh=opt.conf_thresh,
+        nn_thresh=opt.nn_thresh,
+        max_keypoints=opt.max_keypoints,
+    )
+    if opt.run_mode == "train":
+        cfg = cfg.replace(
+            batch_size=opt.batch_size,
+            grad_accum_steps=opt.grad_accum_steps,
+            epochs=opt.epochs,
+        )
+    return cfg
+
+
+def _loaders(cfg, path):
+    from feature_point_cnn_tpu.data.datasets import BatchLoader, NpzPointDataset
+
+    train = BatchLoader(
+        NpzPointDataset(path, "train"), cfg.batch_size, cfg.max_points
+    )
+    test = BatchLoader(
+        NpzPointDataset(path, "test"), cfg.batch_size, cfg.max_points,
+        shuffle=False,
+    )
+    return train, test
+
+
+def main(argv=None) -> None:
+    opt = build_parser().parse_args(argv)
+    cfg = config_from_args(opt)
+
+    if opt.run_mode == "inference":
+        from feature_point_cnn_tpu.inference.demo import run_demo
+
+        stats = run_demo(
+            opt.weights_path, cfg, source=opt.source,
+            width=opt.W, height=opt.H,
+            max_frames=opt.max_frames, show=not opt.no_show,
+        )
+        print(stats)
+
+    elif opt.run_mode == "export":
+        from feature_point_cnn_tpu.inference.wrapper import SuperPointFrontend
+
+        SuperPointFrontend(cfg, checkpoint_dir=opt.weights_path).export_stablehlo(
+            opt.out, (opt.H, opt.W)
+        )
+
+    elif opt.run_mode == "train":
+        from feature_point_cnn_tpu.train.trainer import Trainer
+
+        write_stats = not opt.no_write_statistics
+        if opt.synthetic_path:
+            print("MagicPoint training on synthetic shapes...")
+            train, test = _loaders(cfg, opt.synthetic_path)
+            Trainer(
+                cfg, "magicpoint", train, test,
+                checkpoint_dir=opt.checkpoint_path,
+                write_statistics=write_stats,
+            ).train()
+        elif opt.coco_path and opt.generate_points:
+            print("Self-labeling COCO with homography adaptation...")
+            from feature_point_cnn_tpu.selflabel.coco import preprocess_coco
+
+            preprocess_coco(
+                opt.coco_path, opt.magic_point_weights, cfg, limit=opt.limit
+            )
+        elif opt.coco_path and opt.magic_point:
+            print("MagicPoint training on labeled COCO...")
+            train, test = _loaders(cfg, opt.coco_path)
+            Trainer(
+                cfg, "magicpoint", train, test,
+                checkpoint_dir=opt.checkpoint_path,
+                write_statistics=write_stats,
+            ).train()
+        elif opt.coco_path:
+            print("SuperPoint joint training...")
+            train, test = _loaders(cfg, opt.coco_path)
+            Trainer(
+                cfg, "superpoint", train, test,
+                checkpoint_dir=opt.checkpoint_path,
+                magicpoint_checkpoint_dir=opt.magic_point_weights,
+                write_statistics=write_stats,
+            ).train()
+        else:
+            raise SystemExit(
+                "train requires --synthetic-path or --coco-path"
+            )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,149 @@
+"""COCO self-labeling: pseudo-label real images with an adapted MagicPoint.
+
+Equivalent of `/root/reference/python/src/preprocess_coco.py`: read raw
+images, ratio-preserving resize + center crop to the training size, run
+batched homography adaptation, write ``{image, points}`` npz items into
+``train``/``test`` — except adaptation runs as ONE jitted program per batch
+(see `selflabel/adaptation.py`) instead of a 15-iteration host loop, and the
+image batch pipeline is a simple threaded reader.
+
+This stage is embarrassingly parallel: shard the file list across hosts
+(``shard_index / num_shards``) and each host labels its slice.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from pathlib import Path
+from typing import Iterable, List, Optional, Tuple
+
+import cv2
+import jax
+import numpy as np
+
+from feature_point_cnn_tpu.config import HomographyConfig, SuperPointConfig
+from feature_point_cnn_tpu.inference.wrapper import SuperPointFrontend
+
+_IMG_EXTS = {".jpg", ".jpeg", ".png", ".bmp"}
+
+
+def load_and_crop(path: str, out_hw: Tuple[int, int]) -> Optional[np.ndarray]:
+    """Ratio-preserving resize + center crop (`preprocess_coco.py:27-33`):
+    returns ``(H, W, 3)`` float32 RGB in [0, 1]."""
+    img = cv2.imread(path, cv2.IMREAD_COLOR)
+    if img is None:
+        return None
+    img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    ih, iw = img.shape[:2]
+    oh, ow = out_hw
+    scale = max(oh / ih, ow / iw)
+    nh, nw = int(ih * scale), int(iw * scale)
+    img = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
+    y0 = (nh - oh) // 2
+    x0 = (nw - ow) // 2
+    img = img[y0 : y0 + oh, x0 : x0 + ow]
+    return img.astype(np.float32) / 255.0
+
+
+def _batched_reader(
+    paths: List[str], out_hw: Tuple[int, int], batch_size: int, prefetch: int = 2
+) -> Iterable[Tuple[np.ndarray, List[str]]]:
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+
+    def worker():
+        images, names = [], []
+        for p in paths:
+            img = load_and_crop(p, out_hw)
+            if img is None:
+                continue
+            images.append(img)
+            names.append(p)
+            if len(images) == batch_size:
+                q.put((np.stack(images), names))
+                images, names = [], []
+        if images:
+            q.put((np.stack(images), names))
+        q.put(None)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is None:
+            return
+        yield item
+
+
+def preprocess_folder(
+    frontend: SuperPointFrontend,
+    image_dir: str,
+    output_dir: str,
+    homo_config: HomographyConfig,
+    batch_size: int = 16,
+    seed: int = 0,
+    shard_index: int = 0,
+    num_shards: int = 1,
+    limit: int = 0,
+) -> int:
+    """Label every image under ``image_dir`` into ``output_dir`` npz items
+    (`preprocess_coco.py:64-74`).  Returns the item count written."""
+    out = Path(output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    paths = sorted(
+        str(p) for p in Path(image_dir).iterdir() if p.suffix.lower() in _IMG_EXTS
+    )
+    paths = paths[shard_index::num_shards]
+    if limit:
+        paths = paths[:limit]
+    out_hw = frontend.config.train_image_size
+    key = jax.random.PRNGKey(seed)
+    written = 0
+    for i, (images, names) in enumerate(
+        _batched_reader(paths, out_hw, batch_size)
+    ):
+        # pad the tail batch to the static shape, drop the padding afterwards
+        n_real = len(names)
+        if n_real < batch_size:
+            pad = np.zeros((batch_size - n_real,) + images.shape[1:], images.dtype)
+            images = np.concatenate([images, pad])
+        points = frontend.run_with_homography_adaptation(
+            images, homo_config, jax.random.fold_in(key, i)
+        )
+        for j in range(n_real):
+            name = Path(names[j]).stem
+            chw = np.transpose(images[j], (2, 0, 1))
+            np.savez_compressed(out / f"{name}.npz", image=chw, points=points[j])
+            written += 1
+        if (i + 1) % 10 == 0:
+            print(f"[selflabel] {written}/{len(paths)} items -> {output_dir}")
+    return written
+
+
+def preprocess_coco(
+    coco_path: str,
+    magicpoint_checkpoint_dir: str,
+    config: SuperPointConfig,
+    batch_size: int = 16,
+    limit: int = 0,
+    shard_index: int = 0,
+    num_shards: int = 1,
+) -> None:
+    """Full reference flow (`preprocess_coco.py:41-61`): label
+    ``train2014``/``test2014`` into ``train``/``test`` with the looser
+    preprocess homography family."""
+    frontend = SuperPointFrontend(
+        config=config, checkpoint_dir=magicpoint_checkpoint_dir
+    )
+    homo = HomographyConfig.for_preprocess()
+    for src, dst in (("train2014", "train"), ("test2014", "test")):
+        n = preprocess_folder(
+            frontend,
+            str(Path(coco_path, src)),
+            str(Path(coco_path, dst)),
+            homo,
+            batch_size=batch_size,
+            limit=limit,
+            shard_index=shard_index,
+            num_shards=num_shards,
+        )
+        print(f"[selflabel] {src}: wrote {n} labeled items")

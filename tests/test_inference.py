@@ -1,0 +1,131 @@
+"""Inference stack tests: homography adaptation properties, frontend
+contract, headless demo loop, CLI, graft entry points."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from feature_point_cnn_tpu.config import HomographyConfig, SuperPointConfig
+from feature_point_cnn_tpu.inference.demo import run_demo
+from feature_point_cnn_tpu.inference.wrapper import SuperPointFrontend
+from feature_point_cnn_tpu.selflabel.adaptation import homography_adaptation
+
+CFG = SuperPointConfig(
+    train_image_size=(48, 64), max_keypoints=64, compute_dtype="float32"
+)
+HOMO = HomographyConfig(num=3, valid_border_margin=4)
+
+
+def _checkerboard(h=48, w=64):
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    board = ((xx // 8 + yy // 8) % 2).astype(np.float32) * 0.6 + 0.2
+    return np.repeat(board[..., None], 3, -1)
+
+
+def test_adaptation_identity_net(rng):
+    """With a constant-probability 'net', adaptation must return (approx) the
+    same constant wherever coverage is sufficient, zero elsewhere."""
+    images = jnp.asarray(rng.random((2, 48, 64, 3)), jnp.float32)
+
+    def prob_fn(x):
+        return jnp.full(x.shape[:3], 0.5, jnp.float32)
+
+    prob = homography_adaptation(jax.random.PRNGKey(0), images, prob_fn, HOMO)
+    p = np.asarray(prob)
+    assert p.shape == (2, 48, 64)
+    covered = p > 0
+    assert covered.mean() > 0.3                # central area is covered
+    # never exceeds the constant; the bulk matches it (mask-boundary pixels
+    # dip below because bilinear taps into the zeroed region — inherent to
+    # the reference algorithm, homographies.py:297-301, and washed out as
+    # `num` grows)
+    assert (p[covered] <= 0.5 + 1e-4).all()
+    assert (np.abs(p[covered] - 0.5) < 0.02).mean() > 0.7
+
+
+def test_adaptation_max_aggregation(rng):
+    images = jnp.asarray(rng.random((1, 48, 64, 3)), jnp.float32)
+
+    def prob_fn(x):
+        return jnp.full(x.shape[:3], 0.5, jnp.float32)
+
+    cfg_max = HOMO.replace(aggregation="max")
+    prob = homography_adaptation(jax.random.PRNGKey(0), images, prob_fn, cfg_max)
+    p = np.asarray(prob)
+    assert p.max() <= 0.5 + 1e-5
+    assert (p[p > 0] >= 0.4).all()
+
+
+@pytest.fixture(scope="module")
+def frontend():
+    return SuperPointFrontend(config=CFG)
+
+
+def test_frontend_run_contract(frontend):
+    pts, desc = frontend.run(_checkerboard())
+    assert pts.shape[0] == 3
+    assert desc.shape == (CFG.descriptor_dim, pts.shape[1])
+    if pts.shape[1]:
+        norms = np.linalg.norm(desc, axis=0)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+        assert (pts[0] < 64).all() and (pts[1] < 48).all()
+
+
+def test_frontend_adaptation_labels(frontend):
+    imgs = np.stack([_checkerboard(), _checkerboard()])
+    points = frontend.run_with_homography_adaptation(
+        imgs, HOMO, jax.random.PRNGKey(1)
+    )
+    assert len(points) == 2
+    for p in points:
+        assert p.shape[0] == 3
+
+
+def test_frontend_export_stablehlo(frontend, tmp_path):
+    out = tmp_path / "model.shlo"
+    frontend.export_stablehlo(str(out), (48, 64))
+    data = out.read_bytes()
+    assert len(data) > 1000
+    # round-trip: deserialize and call
+    from jax import export as jax_export
+
+    rebuilt = jax_export.deserialize(data)
+    kp_tuple = rebuilt.call(jnp.asarray(_checkerboard()[None]))
+    assert kp_tuple[0].shape == (1, CFG.max_keypoints)
+
+
+def test_demo_headless():
+    stats = run_demo(
+        None, CFG, source="synthetic", width=64, height=48,
+        max_frames=5, show=False,
+    )
+    assert stats["frames"] == 5
+    assert stats["mean_fps"] > 0
+
+
+def test_cli_parser_modes():
+    from feature_point_cnn_tpu.main import build_parser, config_from_args
+
+    p = build_parser()
+    opt = p.parse_args(["train", "--synthetic-path", "/tmp/x", "--batch-size", "8"])
+    cfg = config_from_args(opt)
+    assert cfg.batch_size == 8
+    opt = p.parse_args(["--conf-thresh", "0.1", "inference", "--weights-path", "w"])
+    assert config_from_args(opt).confidence_thresh == 0.1
+    opt = p.parse_args(["export", "--weights-path", "w"])
+    assert opt.run_mode == "export"
+
+
+def test_graft_entry_single_chip():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    kp, desc = jax.jit(fn)(*args)
+    assert desc.shape[0] == 1 and desc.shape[2] == 128
+
+
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
