@@ -86,6 +86,11 @@ class Descriptor(nn.Module):
         y = TorchConvTranspose(128, dtype=dt, name="up_sample")(y)
         y = batch_norm(train, dt, "bn")(y)
         y = nn.relu(y)
+        # crop to the embedding grid: for odd Hc/Wc the doubling transposed
+        # conv overshoots by one row/col (the reference crashes at such sizes
+        # — torch concat of 16 vs 15 — we support any multiple of 8)
+        hc, wc = embeddings.shape[1:3]
+        y = y[:, :hc, :wc, :]
         y = jnp.concatenate([y, embeddings.astype(dt)], axis=-1)
         y = ResNetLayer(
             2, self.descriptor_dim, stride=1, dtype=dt, name="layer_out"
