@@ -36,6 +36,8 @@ class SuperPointConfig:
     max_keypoints: int = 1024         # K: keypoints padded/truncated to this
     nms_iters: int = 4                # suppression rounds; exact greedy NMS for
                                       # score-descending chains up to this depth
+    use_pallas_decode: str = "auto"   # fused Pallas decode kernel in serving:
+                                      # "auto" (on TPU), "on", "off"
 
     # --- model topology (superpoint.py:12-61) ---
     image_channels: int = 3
@@ -68,6 +70,10 @@ class SuperPointConfig:
     max_points: int = 512             # fixed-size padded ground-truth point sets
     shuffle_seed: int = 0
     prefetch_batches: int = 2
+    photometric_augment: bool = False # on-device photometric aug (the
+                                      # reference defines but disables its
+                                      # albumentations pipeline,
+                                      # magicpointtrainer.py:10-11)
 
     # --- parallelism (new first-class layer; the reference has none,
     # SURVEY.md §2.3) ---

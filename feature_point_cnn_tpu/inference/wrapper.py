@@ -23,6 +23,7 @@ from feature_point_cnn_tpu.ops.descriptors import sample_descriptors
 from feature_point_cnn_tpu.ops.detection import (
     Keypoints,
     extract_keypoints,
+    extract_keypoints_from_scores,
     keypoints_to_numpy,
 )
 from feature_point_cnn_tpu.selflabel.adaptation import homography_adaptation
@@ -33,10 +34,26 @@ def extract_fn(
     variables: dict, images: jnp.ndarray, *, model: SuperPoint,
     config: SuperPointConfig,
 ) -> Tuple[Keypoints, jnp.ndarray]:
-    """The fused serving program (pure; jit at the call site)."""
+    """The fused serving program (pure; jit at the call site).
+
+    On TPU the decode (softmax + dustbin drop + depth-to-space + threshold)
+    runs as the fused Pallas kernel; the model's own prob-map branch is then
+    dead code and XLA eliminates it.
+    """
     h, w = images.shape[1:3]
-    prob, desc_map, _ = model.apply(variables, images, train=False)
-    kp = extract_keypoints(prob, config)
+    prob, desc_map, logits = model.apply(variables, images, train=False)
+    use_pallas = config.use_pallas_decode == "on" or (
+        config.use_pallas_decode == "auto" and jax.default_backend() == "tpu"
+    )
+    if use_pallas:
+        from feature_point_cnn_tpu.ops.pallas.decode import decode_threshold_pallas
+
+        scores = decode_threshold_pallas(
+            logits, config.cell, config.confidence_thresh
+        )
+        kp = extract_keypoints_from_scores(scores, config)
+    else:
+        kp = extract_keypoints(prob, config)
     desc = sample_descriptors(desc_map, kp, h, w)
     return kp, desc
 

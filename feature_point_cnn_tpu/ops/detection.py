@@ -99,8 +99,16 @@ def extract_keypoints(
     neighborhood; border points are removed AFTER NMS (so they still suppress
     neighbors, as in the reference); survivors sort by descending confidence.
     """
-    b, h, w = prob_map.shape
     scores = jnp.where(prob_map >= config.confidence_thresh, prob_map, 0.0)
+    return extract_keypoints_from_scores(scores, config)
+
+
+def extract_keypoints_from_scores(
+    scores: jnp.ndarray, config: SuperPointConfig
+) -> Keypoints:
+    """NMS + border strip + top-K on an already-thresholded score map (e.g.
+    from the fused Pallas decode kernel, `ops/pallas/decode.py`)."""
+    b, h, w = scores.shape
     scores = grid_nms(scores, config.nms_dist, config.nms_iters)
 
     br = config.border_remove

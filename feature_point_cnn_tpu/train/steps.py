@@ -28,6 +28,7 @@ import optax
 from flax import struct
 
 from feature_point_cnn_tpu.config import HomographyConfig, SuperPointConfig
+from feature_point_cnn_tpu.data.photometric import photometric_augment_batch
 from feature_point_cnn_tpu.geometry.homography import homographic_augmentation_batch
 from feature_point_cnn_tpu.ops.labels import (
     make_points_labels_batch,
@@ -81,6 +82,9 @@ def magicpoint_train_step(
 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     images = batch["image"]
     b, h, w, _ = images.shape
+    key, k_photo = jax.random.split(key)
+    if config.photometric_augment:
+        images = photometric_augment_batch(k_photo, images)
     labels = make_points_labels_batch(
         batch["points"], batch["points_valid"], key, h, w, config.cell
     )
@@ -138,7 +142,11 @@ def magicpoint_eval_step(
 def _augment_and_encode(batch, key, config, homo_config):
     images = batch["image"]
     b, h, w, _ = images.shape
-    k_aug, k_lab, k_wlab = jax.random.split(key, 3)
+    k_aug, k_lab, k_wlab, k_photo = jax.random.split(key, 4)
+    if config.photometric_augment:
+        # photometric aug before the geometric warp, as the reference applies
+        # its transforms at dataset-read time (coco_dataset.py:29)
+        images = photometric_augment_batch(k_photo, images)
     warped, wpoints, wvalid, valid_mask, homog = homographic_augmentation_batch(
         k_aug, images, batch["points"], batch["points_valid"], homo_config
     )
@@ -149,7 +157,7 @@ def _augment_and_encode(batch, key, config, homo_config):
         wpoints, wvalid, k_wlab, h, w, config.cell
     )
     cell_mask = scale_valid_map(valid_mask, config.cell)       # (B, Hc, Wc)
-    return warped, labels, wlabels, cell_mask, homog
+    return warped, labels, wlabels, cell_mask, homog, images
 
 
 def superpoint_train_step(
@@ -164,7 +172,7 @@ def superpoint_train_step(
 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     images = batch["image"]
     b = images.shape[0]
-    warped, labels, wlabels, cell_mask, homog = _augment_and_encode(
+    warped, labels, wlabels, cell_mask, homog, images = _augment_and_encode(
         batch, key, config, homo_config
     )
     both = jnp.concatenate([images, warped], axis=0)           # (2B, H, W, C)
@@ -206,7 +214,7 @@ def superpoint_eval_step(
 ) -> Dict[str, jnp.ndarray]:
     images = batch["image"]
     b = images.shape[0]
-    warped, labels, wlabels, cell_mask, homog = _augment_and_encode(
+    warped, labels, wlabels, cell_mask, homog, images = _augment_and_encode(
         batch, key, config, homo_config
     )
     both = jnp.concatenate([images, warped], axis=0)

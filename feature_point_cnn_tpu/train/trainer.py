@@ -121,8 +121,44 @@ class Trainer:
             )
         self._train_step = jax.jit(train_fn, donate_argnums=(0,))
         self._eval_step = jax.jit(eval_fn)
+        self._prob_fn = jax.jit(
+            lambda params, stats, img: self.model.apply(
+                {"params": params, "batch_stats": stats}, img, train=False,
+                enable_descriptor=False,
+            )[0]
+        )
 
     # ------------------------------------------------------------------
+
+    def _write_image_summary(self, batch, step: int) -> None:
+        """Keypoint-overlay image summary (pred red / label green), the
+        equivalent of `basetrainer.py:76-94,276-283`."""
+        import numpy as np
+
+        from feature_point_cnn_tpu.ops.detection import extract_keypoints
+        from feature_point_cnn_tpu.ops.labels import make_points_labels_batch, make_prob_map_from_labels
+        from feature_point_cnn_tpu.utils.summary import keypoint_overlay
+
+        img = jax.numpy.asarray(batch["image"][:1])
+        prob = self._prob_fn(self.state.params, self.state.batch_stats, img)
+        kp = extract_keypoints(prob, self.config)
+        v = np.asarray(kp.valid[0])
+        pred = np.stack(
+            [np.asarray(kp.y[0])[v], np.asarray(kp.x[0])[v]], -1
+        )
+        labels = make_points_labels_batch(
+            jax.numpy.asarray(batch["points"][:1]),
+            jax.numpy.asarray(batch["points_valid"][:1]),
+            self._key(999, step), img.shape[1], img.shape[2], self.config.cell,
+        )
+        true_prob = make_prob_map_from_labels(labels, self.config.cell)
+        tkp = extract_keypoints(true_prob, self.config.replace(confidence_thresh=0.5))
+        tv = np.asarray(tkp.valid[0])
+        true = np.stack(
+            [np.asarray(tkp.y[0])[tv], np.asarray(tkp.x[0])[tv]], -1
+        )
+        vis = keypoint_overlay(np.asarray(img[0]), pred, true)
+        self.writer.image(f"detector/{self.phase}", vis, step)
 
     def _key(self, tag: int, index: int) -> jax.Array:
         return jax.random.fold_in(jax.random.fold_in(self.base_key, tag), index)
@@ -142,6 +178,11 @@ class Trainer:
                 step = int(self.state.step)
                 for k, v in m.items():
                     self.writer.scalar(f"train/{k}", v, step)
+                if (i + 1) % (self.log_every * 4) == 0:
+                    try:
+                        self._write_image_summary(batch, step)
+                    except Exception as e:  # summaries must never kill training
+                        print(f"[trainer] image summary failed: {e}")
                 rate = (i + 1) * batch["image"].shape[0] / (time.time() - t0)
                 print(
                     f"[{self.phase}] epoch {epoch} step {i + 1}/"

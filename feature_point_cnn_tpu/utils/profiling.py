@@ -1,0 +1,52 @@
+"""Profiling / tracing utilities.
+
+The reference's only observability is an on-screen FPS counter
+(`/root/reference/python/src/inference.py:107-110`, `cpp/src/main.cc:104-111`).
+Here: `jax.profiler` trace capture (viewable in TensorBoard / Perfetto),
+named step annotations, and a simple wall-clock timer for steady-state
+throughput numbers.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Iterator
+
+import jax
+
+
+@contextlib.contextmanager
+def trace(log_dir: str) -> Iterator[None]:
+    """Capture a device trace: ``with trace('/tmp/tb'): run_steps()`` then
+    open TensorBoard's profile tab (or Perfetto) on ``log_dir``."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def annotate(name: str):
+    """Named range that shows up on the trace timeline."""
+    return jax.profiler.TraceAnnotation(name)
+
+
+class Throughput:
+    """Steady-state items/sec meter (skips the first, compile-bearing call)."""
+
+    def __init__(self):
+        self.n = 0
+        self.t0 = None
+
+    def step(self, items: int = 1) -> None:
+        if self.t0 is None:
+            self.t0 = time.perf_counter()
+            return
+        self.n += items
+
+    @property
+    def per_sec(self) -> float:
+        if self.t0 is None or self.n == 0:
+            return 0.0
+        return self.n / (time.perf_counter() - self.t0)

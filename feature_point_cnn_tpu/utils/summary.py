@@ -57,3 +57,23 @@ class MetricWriter:
             self._tb.close()
         if self._jsonl is not None:
             self._jsonl.close()
+
+
+def keypoint_overlay(
+    image_hwc: np.ndarray,
+    pred_points_yx: np.ndarray,
+    true_points_yx: np.ndarray,
+) -> np.ndarray:
+    """Render predictions (red, r=3) and labels (green, r=1) over the image —
+    the reference's training image summary
+    (`/root/reference/python/src/basetrainer.py:76-94`)."""
+    import cv2
+
+    vis = (np.clip(image_hwc, 0, 1) * 255).astype(np.uint8).copy()
+    if vis.shape[-1] == 1:
+        vis = np.repeat(vis, 3, axis=-1)
+    for y, x in pred_points_yx:
+        cv2.circle(vis, (int(round(x)), int(round(y))), 3, (255, 0, 0), -1, lineType=16)
+    for y, x in true_points_yx:
+        cv2.circle(vis, (int(round(x)), int(round(y))), 1, (0, 255, 0), -1, lineType=16)
+    return vis
