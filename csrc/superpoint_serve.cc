@@ -1,0 +1,272 @@
+// superpoint_serve: native real-time feature serving over PJRT.
+//
+// TPU-native replacement of the reference C++ demo (/root/reference/cpp/src/
+// main.cc): compiles the exported detect+describe+match program (see
+// `SuperPointFrontend.export_pjrt`) and streams frames through it.  Matching
+// already happens on-chip as a GEMM inside the program (the reference scans
+// descriptors linearly on the CPU, main.cc:9-29), so the host only feeds
+// frames and reads fixed-K results.
+//
+// Frame sources: synthetic drifting checkerboard (default; no hardware
+// needed) or a raw float32 HWC file per frame ("--input file.raw").
+//
+// Usage:
+//   superpoint_serve --model DIR [--plugin /opt/axon/libaxon_pjrt.so]
+//                    [--frames 100] [--input frame.raw]
+
+#include <chrono>
+#include <cmath>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <fstream>
+#include <string>
+#include <vector>
+
+#include "pjrt_runtime.h"
+
+namespace {
+
+// --- minimal parsing of the known meta.json layout ---------------------------
+
+long json_int(const std::string& s, const std::string& key) {
+  auto pos = s.find("\"" + key + "\"");
+  if (pos == std::string::npos) throw std::runtime_error("meta missing " + key);
+  pos = s.find(':', pos);
+  return std::strtol(s.c_str() + pos + 1, nullptr, 10);
+}
+
+std::vector<long> json_int_list(const std::string& s, const std::string& key) {
+  auto pos = s.find("\"" + key + "\"");
+  if (pos == std::string::npos) throw std::runtime_error("meta missing " + key);
+  auto open = s.find('[', pos);
+  auto close = s.find(']', open);
+  std::vector<long> out;
+  const char* p = s.c_str() + open + 1;
+  while (p < s.c_str() + close) {
+    char* end = nullptr;
+    long v = std::strtol(p, &end, 10);
+    if (end == p) break;
+    out.push_back(v);
+    p = end + 1;
+  }
+  return out;
+}
+
+PJRT_Buffer_Type dtype_of(const std::string& name) {
+  if (name == "f32") return PJRT_Buffer_Type_F32;
+  if (name == "s32") return PJRT_Buffer_Type_S32;
+  if (name == "pred") return PJRT_Buffer_Type_PRED;
+  throw std::runtime_error("unknown dtype " + name);
+}
+
+struct Spec {
+  std::string name;
+  std::vector<int64_t> shape;
+  PJRT_Buffer_Type type;
+};
+
+// Parse the "inputs"/"outputs" arrays of meta.json.
+std::vector<Spec> parse_specs(const std::string& s, const std::string& section) {
+  std::vector<Spec> specs;
+  auto pos = s.find("\"" + section + "\"");
+  auto end = s.find(']', s.rfind('}', s.find(']', pos)));
+  // walk objects
+  auto obj = s.find('{', pos);
+  auto section_end = pos;
+  {  // find the matching close bracket of the section array
+    int depth = 0;
+    size_t i = s.find('[', pos);
+    for (; i < s.size(); ++i) {
+      if (s[i] == '[') depth++;
+      if (s[i] == ']' && --depth == 0) break;
+    }
+    section_end = i;
+  }
+  while (obj != std::string::npos && obj < section_end) {
+    auto close = s.find('}', obj);
+    std::string body = s.substr(obj, close - obj + 1);
+    Spec spec;
+    auto n0 = body.find("\"name\"");
+    auto q1 = body.find('"', body.find(':', n0));
+    auto q2 = body.find('"', q1 + 1);
+    spec.name = body.substr(q1 + 1, q2 - q1 - 1);
+    for (long d : json_int_list(body, "shape")) spec.shape.push_back(d);
+    auto d0 = body.find("\"dtype\"");
+    auto p1 = body.find('"', body.find(':', d0));
+    auto p2 = body.find('"', p1 + 1);
+    spec.type = dtype_of(body.substr(p1 + 1, p2 - p1 - 1));
+    specs.push_back(spec);
+    obj = s.find('{', close);
+  }
+  (void)end;
+  return specs;
+}
+
+// --- synthetic frame source (drifting checkerboard) --------------------------
+
+void fill_checkerboard(float* data, int h, int w, int c, double t) {
+  const double dx = 40.0 * std::sin(t), dy = 25.0 * std::cos(0.7 * t);
+  for (int y = 0; y < h; ++y) {
+    for (int x = 0; x < w; ++x) {
+      int board = (static_cast<int>((x + dx) / 40.0 + 1000.0) +
+                   static_cast<int>((y + dy) / 40.0 + 1000.0)) % 2;
+      float v = 0.25f + 0.55f * static_cast<float>(board);
+      for (int ch = 0; ch < c; ++ch) data[(y * w + x) * c + ch] = v;
+    }
+  }
+}
+
+// Create options required by the axon relay plugin (mirrors the options its
+// Python registration passes; see /root/.axon_site/axon/register).  Topology
+// comes from PALLAS_AXON_TPU_GEN; session_id is fresh per process.
+std::vector<fpc::CreateOption> AxonDefaultOptions() {
+  // Mirror the env bridging the Python sitecustomize performs
+  // (/root/.axon_site/sitecustomize.py): route the pool claim through the
+  // loopback relay when PALLAS_AXON_POOL_IPS is configured.
+  if (std::getenv("PALLAS_AXON_POOL_IPS") != nullptr) {
+    setenv("AXON_POOL_SVC_OVERRIDE", "127.0.0.1", /*overwrite=*/0);
+    setenv("AXON_LOOPBACK_RELAY", "1", 0);
+    setenv("TPU_WORKER_HOSTNAMES", "localhost", 0);
+  }
+  const char* gen = std::getenv("PALLAS_AXON_TPU_GEN");
+  std::string topology = std::string(gen ? gen : "v5e") + ":1x1x1";
+  std::srand(static_cast<unsigned>(
+      std::chrono::steady_clock::now().time_since_epoch().count()));
+  char session[64];
+  std::snprintf(session, sizeof(session), "serve-%08x-%08x", std::rand(),
+                std::rand());
+  return {
+      fpc::CreateOption::Int("remote_compile", 1),
+      fpc::CreateOption::Int("local_only", 0),
+      fpc::CreateOption::Int("priority", 0),
+      fpc::CreateOption::Str("topology", topology),
+      fpc::CreateOption::Int("n_slices", 1),
+      fpc::CreateOption::Str("session_id", session),
+      fpc::CreateOption::Int("rank", 4294967295LL),
+  };
+}
+
+}  // namespace
+
+int main(int argc, char** argv) {
+  std::string model_dir;
+  std::string plugin = "/opt/axon/libaxon_pjrt.so";
+  std::string input_file;
+  int frames = 20;
+  for (int i = 1; i < argc; ++i) {
+    std::string a = argv[i];
+    auto next = [&]() -> std::string {
+      if (i + 1 >= argc) throw std::runtime_error("missing value for " + a);
+      return argv[++i];
+    };
+    if (a == "--model") model_dir = next();
+    else if (a == "--plugin") plugin = next();
+    else if (a == "--frames") frames = std::atoi(next().c_str());
+    else if (a == "--input") input_file = next();
+    else {
+      std::fprintf(stderr,
+                   "usage: %s --model DIR [--plugin SO] [--frames N] "
+                   "[--input frame.raw]\n", argv[0]);
+      return 2;
+    }
+  }
+  if (model_dir.empty()) {
+    std::fprintf(stderr, "error: --model is required\n");
+    return 2;
+  }
+
+  try {
+    std::string meta = fpc::read_file(model_dir + "/meta.json");
+    const long h = json_int_list(meta, "image_size")[0];
+    const long w = json_int_list(meta, "image_size")[1];
+    const long c = json_int(meta, "channels");
+    const long k = json_int(meta, "max_keypoints");
+    auto in_specs = parse_specs(meta, "inputs");
+    auto out_spec_list = parse_specs(meta, "outputs");
+
+    std::vector<fpc::CreateOption> options;
+    if (plugin.find("axon") != std::string::npos) options = AxonDefaultOptions();
+    fpc::PjrtRuntime rt(plugin, options);
+    std::printf("[serve] platform=%s devices=%d\n", rt.platform_name().c_str(),
+                rt.num_devices());
+
+    auto t0 = std::chrono::steady_clock::now();
+    rt.Compile(fpc::read_file(model_dir + "/module.mlir"),
+               fpc::read_file(model_dir + "/compile_options.pb"));
+    auto t1 = std::chrono::steady_clock::now();
+    std::printf("[serve] compiled %s (%zu outputs) in %.1fs\n",
+                model_dir.c_str(), rt.num_outputs(),
+                std::chrono::duration<double>(t1 - t0).count());
+
+    std::vector<fpc::HostArray> out_specs;
+    for (const auto& spec : out_spec_list) {
+      out_specs.push_back(fpc::make_array(spec.shape, spec.type));
+    }
+
+    // inputs: image, key_desc, key_valid
+    fpc::HostArray image = fpc::make_array(in_specs[0].shape, in_specs[0].type);
+    fpc::HostArray key_desc = fpc::make_array(in_specs[1].shape, in_specs[1].type);
+    fpc::HostArray key_valid = fpc::make_array(in_specs[2].shape, in_specs[2].type);
+
+    if (!input_file.empty()) {
+      std::string raw = fpc::read_file(input_file);
+      if (raw.size() != image.data.size()) {
+        throw std::runtime_error("--input size mismatch: want " +
+                                 std::to_string(image.data.size()) + " bytes");
+      }
+      std::memcpy(image.data.data(), raw.data(), raw.size());
+    }
+
+    double total_s = 0.0;
+    long total_matches = 0;
+    // device-resident keyframe state (fed back without host round trips)
+    fpc::DeviceBuffer key_desc_dev = rt.Upload(key_desc);
+    fpc::DeviceBuffer key_valid_dev = rt.Upload(key_valid);
+    for (int f = 0; f < frames; ++f) {
+      if (input_file.empty()) {
+        fill_checkerboard(image.f32(), static_cast<int>(h),
+                          static_cast<int>(w), static_cast<int>(c),
+                          0.15 * static_cast<double>(f));
+      }
+      auto s0 = std::chrono::steady_clock::now();
+      fpc::DeviceBuffer image_dev = rt.Upload(image);
+      auto outs = rt.Execute({image_dev.get(), key_desc_dev.get(),
+                              key_valid_dev.get()});
+      // fetch only what the host needs: valid (3) and match_valid (5)
+      fpc::HostArray valid = rt.ToHost(outs[3], out_specs[3]);
+      fpc::HostArray match_valid = rt.ToHost(outs[5], out_specs[5]);
+      auto s1 = std::chrono::steady_clock::now();
+
+      long n_kp = 0, n_match = 0;
+      for (long i = 0; i < k; ++i) {
+        n_kp += valid.pred()[i] != 0;
+        n_match += match_valid.pred()[i] != 0;
+      }
+      if (f == 0) {
+        // first frame becomes the keyframe — its descriptors/validity stay
+        // on device (the reference copies descriptors out per frame,
+        // superpoint.cc:98-152)
+        key_desc_dev = std::move(outs[6]);
+        key_valid_dev = std::move(outs[3]);
+      } else {
+        total_s += std::chrono::duration<double>(s1 - s0).count();
+        total_matches += n_match;
+      }
+      if (f < 3 || f + 1 == frames) {
+        std::printf("[serve] frame %3d: keypoints=%4ld matches=%4ld (%.2f ms)\n",
+                    f, n_kp, n_match,
+                    1e3 * std::chrono::duration<double>(s1 - s0).count());
+      }
+    }
+    if (frames > 1) {
+      std::printf("[serve] steady-state: %.1f FPS, mean matches %.1f\n",
+                  (frames - 1) / total_s,
+                  static_cast<double>(total_matches) / (frames - 1));
+    }
+  } catch (const std::exception& e) {
+    std::fprintf(stderr, "[serve] FATAL: %s\n", e.what());
+    return 1;
+  }
+  return 0;
+}

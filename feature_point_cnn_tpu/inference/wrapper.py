@@ -160,3 +160,74 @@ class SuperPointFrontend:
         with open(path, "wb") as f:
             f.write(exported.serialize())
         print(f"[frontend] exported StableHLO ({h}x{w}) to {path}")
+
+    def export_pjrt(self, out_dir: str, image_size: Tuple[int, int]) -> None:
+        """Export the full frame program (detect + describe + MATCH against a
+        fed-back keyframe — matching stays an on-chip GEMM) for the native
+        C++ PJRT runtime (`csrc/`):
+
+          <out_dir>/module.mlir         StableHLO bytecode (PJRT "mlir" format)
+          <out_dir>/compile_options.pb  serialized xla CompileOptionsProto
+          <out_dir>/meta.json           input/output specs
+
+        This is the TPU-native counterpart of the TorchScript-trace +
+        TRTorch-compile path consumed by the reference C++ app
+        (`cpp/src/superpoint.cc:11-26`).
+        """
+        import json
+        from pathlib import Path
+
+        from jax import export as jax_export
+        from jax._src.lib import xla_client
+
+        from feature_point_cnn_tpu.ops.matching import mnn_match
+
+        h, w = image_size
+        cfg = self.config
+        k, d = cfg.max_keypoints, cfg.descriptor_dim
+
+        def frame_fn(image, key_desc, key_valid):
+            kp, desc = extract_fn(
+                self.variables, image, model=self.model, config=cfg
+            )
+            m = mnn_match(desc[0], kp.valid[0], key_desc, key_valid)
+            return (
+                kp.y[0], kp.x[0], kp.score[0], kp.valid[0],
+                m.index, m.valid, desc[0],
+            )
+
+        specs = (
+            jax.ShapeDtypeStruct((1, h, w, cfg.image_channels), jnp.float32),
+            jax.ShapeDtypeStruct((k, d), jnp.float32),
+            jax.ShapeDtypeStruct((k,), jnp.bool_),
+        )
+        exported = jax_export.export(jax.jit(frame_fn))(*specs)
+
+        out = Path(out_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        (out / "module.mlir").write_bytes(exported.mlir_module_serialized)
+        (out / "compile_options.pb").write_bytes(
+            xla_client.CompileOptions().SerializeAsString()
+        )
+        meta = {
+            "image_size": [h, w],
+            "channels": cfg.image_channels,
+            "max_keypoints": k,
+            "descriptor_dim": d,
+            "inputs": [
+                {"name": "image", "shape": [1, h, w, cfg.image_channels], "dtype": "f32"},
+                {"name": "key_desc", "shape": [k, d], "dtype": "f32"},
+                {"name": "key_valid", "shape": [k], "dtype": "pred"},
+            ],
+            "outputs": [
+                {"name": "y", "shape": [k], "dtype": "f32"},
+                {"name": "x", "shape": [k], "dtype": "f32"},
+                {"name": "score", "shape": [k], "dtype": "f32"},
+                {"name": "valid", "shape": [k], "dtype": "pred"},
+                {"name": "match_index", "shape": [k], "dtype": "s32"},
+                {"name": "match_valid", "shape": [k], "dtype": "pred"},
+                {"name": "desc", "shape": [k, d], "dtype": "f32"},
+            ],
+        }
+        (out / "meta.json").write_text(json.dumps(meta, indent=1))
+        print(f"[frontend] exported PJRT program ({h}x{w}) to {out_dir}")
