@@ -49,6 +49,9 @@ class SuperPointConfig:
     positive_margin: float = 1.0
     negative_margin: float = 0.2
     detector_loss: str = "distance"   # "distance" (reference deviation) | "ce"
+    descriptor_loss: str = "hinge"    # "hinge" (losses.py:194-276) | "mse"
+                                      # (the reference's dead alternative,
+                                      # losses.py:137-192)
 
     # --- training (settings.py:17-30) ---
     train_image_size: Tuple[int, int] = (240, 320)

@@ -75,12 +75,17 @@ def run_demo(
     key_desc = None
     key_kp = None
     frames = 0
+    do_blur = False
     fps_hist, match_hist = [], []
     t_prev = time.perf_counter()
     while True:
         frame, ok = camera.get_frame()
         if not ok:
             break
+        if do_blur:
+            import cv2
+
+            frame = cv2.blur(frame, (3, 3))
         query = make_query_image(frame, (width, height))
         kp, desc = frontend.extract(query[None])
         if key_desc is None:
@@ -114,6 +119,8 @@ def run_demo(
                 break
             if k == ord("s"):
                 key_kp, key_desc = kp, desc
+            if k == ord("b"):
+                do_blur = not do_blur
         if max_frames and frames >= max_frames:
             break
 

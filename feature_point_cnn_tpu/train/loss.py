@@ -144,6 +144,48 @@ def descriptor_loss(
     return jnp.sum(loss * mask[:, None, :]) / jnp.maximum(normalization, 1.0)
 
 
+def descriptor_mse_loss(
+    desc: jnp.ndarray,
+    warped_desc: jnp.ndarray,
+    homographies: jnp.ndarray,
+    config: SuperPointConfig,
+) -> jnp.ndarray:
+    """Alternative correspondence-MSE descriptor loss.
+
+    The reference ships this as `descriptor_distance_loss`
+    (`losses.py:137-192`, present but commented out of `GlobalLoss`): for
+    each cell, find its warped counterpart cell via the homography and
+    penalize the squared descriptor difference; out-of-image
+    correspondences are excluded from the mean.
+    """
+    b, hc, wc, dd = desc.shape
+    cell = config.cell
+    ys, xs = jnp.meshgrid(jnp.arange(hc), jnp.arange(wc), indexing="ij")
+    centers = (
+        jnp.stack([ys, xs], -1).reshape(-1, 2).astype(jnp.float32) * cell
+        + cell // 2
+    )                                                          # (N, 2) (y, x)
+    warped_centers = warp_points(centers, homographies)        # (B, N, 2)
+
+    limit = jnp.asarray([hc * cell, wc * cell], jnp.float32) - 1.0
+    inlier = jnp.all(
+        (warped_centers >= 0.0) & (warped_centers <= limit), axis=-1
+    )                                                          # (B, N)
+    cell_idx = jnp.clip(
+        ((warped_centers - cell // 2) / cell).astype(jnp.int32),
+        0,
+        jnp.asarray([hc - 1, wc - 1]),
+    )
+    flat_idx = cell_idx[..., 0] * wc + cell_idx[..., 1]        # (B, N)
+
+    d = desc.reshape(b, -1, dd).astype(jnp.float32)
+    wd = warped_desc.reshape(b, -1, dd).astype(jnp.float32)
+    wd_at = jnp.take_along_axis(wd, flat_idx[..., None], axis=1)
+    sq = jnp.sum((d - wd_at) ** 2, axis=-1) * inlier
+    denom = jnp.maximum(jnp.sum(inlier) * dd, 1.0)
+    return jnp.sum(sq) / denom
+
+
 def global_loss(
     logits: jnp.ndarray,
     targets: jnp.ndarray,
@@ -161,7 +203,10 @@ def global_loss(
     warped_det = detector_loss(
         warped_logits, warped_targets, valid_mask, config.cell, config.detector_loss
     )
-    desc_l = descriptor_loss(desc, warped_desc, homographies, valid_mask, config)
+    if config.descriptor_loss == "mse":
+        desc_l = descriptor_mse_loss(desc, warped_desc, homographies, config)
+    else:
+        desc_l = descriptor_loss(desc, warped_desc, homographies, valid_mask, config)
     return {
         "detector": det,
         "warped_detector": warped_det,

@@ -38,6 +38,14 @@ from feature_point_cnn_tpu.train.loss import detector_loss, global_loss
 from feature_point_cnn_tpu.utils.metrics import samplewise_f1
 
 
+def _grad_norms(grads) -> Dict[str, jnp.ndarray]:
+    """Per-head gradient global norms — the scalar core of the reference's
+    per-parameter grad histograms (`basetrainer.py:265-274`)."""
+    return {
+        f"grad_norm/{k}": optax.global_norm(v) for k, v in grads.items()
+    }
+
+
 class TrainState(struct.PyTreeNode):
     step: jnp.ndarray
     params: Any
@@ -107,6 +115,7 @@ def magicpoint_train_step(
         "loss": loss,
         "detector_loss": loss,
         "f1": samplewise_f1(logits, labels),
+        **_grad_norms(grads),
     }
     return (
         TrainState(state.step + 1, params, new_stats, new_opt),
@@ -199,6 +208,7 @@ def superpoint_train_step(
         "detector_loss": losses["detector"] + losses["warped_detector"],
         "descriptor_loss": losses["descriptor"],
         "f1": samplewise_f1(logits, labels),
+        **_grad_norms(grads),
     }
     return TrainState(state.step + 1, params, new_stats, new_opt), metrics
 

@@ -130,6 +130,17 @@ class Trainer:
 
     # ------------------------------------------------------------------
 
+    def _write_param_histograms(self, step: int) -> None:
+        """Parameter histograms, BN excluded (`basetrainer.py:265-274`)."""
+        import numpy as np
+
+        flat = jax.tree_util.tree_flatten_with_path(self.state.params)[0]
+        for path, leaf in flat:
+            name = "/".join(str(getattr(k, "key", k)) for k in path)
+            if "bn" in name.lower():
+                continue
+            self.writer.histogram(f"params/{name}", np.asarray(leaf), step)
+
     def _write_image_summary(self, batch, step: int) -> None:
         """Keypoint-overlay image summary (pred red / label green), the
         equivalent of `basetrainer.py:76-94,276-283`."""
@@ -181,8 +192,9 @@ class Trainer:
                 if (i + 1) % (self.log_every * 4) == 0:
                     try:
                         self._write_image_summary(batch, step)
+                        self._write_param_histograms(step)
                     except Exception as e:  # summaries must never kill training
-                        print(f"[trainer] image summary failed: {e}")
+                        print(f"[trainer] summary failed: {e}")
                 rate = (i + 1) * batch["image"].shape[0] / (time.time() - t0)
                 print(
                     f"[{self.phase}] epoch {epoch} step {i + 1}/"
