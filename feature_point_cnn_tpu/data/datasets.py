@@ -115,6 +115,8 @@ class BatchLoader:
         return len(self.dataset) // self.batch_size
 
     def epoch(self, epoch_index: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        from concurrent.futures import ThreadPoolExecutor
+
         order = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.default_rng(self.seed + epoch_index).shuffle(order)
@@ -128,12 +130,17 @@ class BatchLoader:
         ]
 
         def worker():
+            # parallel npz decode within each batch (IO + zlib release the GIL)
             try:
-                for idxs in batch_indices:
-                    samples = [self.dataset.read(int(i)) for i in idxs]
-                    out_q.put(_assemble_batch(samples, self.max_points))
-            finally:
+                with ThreadPoolExecutor(self.num_threads) as pool:
+                    for idxs in batch_indices:
+                        samples = list(
+                            pool.map(self.dataset.read, (int(i) for i in idxs))
+                        )
+                        out_q.put(_assemble_batch(samples, self.max_points))
                 out_q.put(None)
+            except BaseException as e:  # surface reader crashes to the consumer
+                out_q.put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -141,4 +148,6 @@ class BatchLoader:
             item = out_q.get()
             if item is None:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item

@@ -13,6 +13,7 @@ Usage:  python -m feature_point_cnn_tpu.data.generate OUT_DIR \
 from __future__ import annotations
 
 import argparse
+import zlib
 from concurrent.futures import ProcessPoolExecutor
 from pathlib import Path
 
@@ -49,7 +50,9 @@ def generate_dataset(
     tasks = []
     for split, size in (("train", train_size), ("test", test_size)):
         for k, primitive in enumerate(PRIMITIVES):
-            task_seed = seed * 1_000_003 + hash((split, primitive)) % 1_000_003
+            # stable across interpreters (builtin hash() is randomized)
+            tag = zlib.crc32(f"{split}/{primitive}".encode())
+            task_seed = seed * 1_000_003 + tag % 1_000_003
             tasks.append((str(Path(path, split)), primitive, size, task_seed))
     with ProcessPoolExecutor(max_workers=workers) as pool:
         futures = [pool.submit(generate_task, *t) for t in tasks]

@@ -15,7 +15,10 @@ import numpy as np
 
 
 class Camera:
-    """Threaded webcam/video capture; frames are float32 BGR in [0, 1]."""
+    """Threaded webcam/video capture; frames are float32 RGB in [0, 1]
+    (converted from OpenCV's BGR — the network trains on RGB,
+    `selflabel/coco.py`; the reference converts in its demo loop,
+    `inference.py:79`)."""
 
     def __init__(self, source=0):
         import cv2
@@ -26,17 +29,28 @@ class Camera:
         self.status = False
         self.frame: Optional[np.ndarray] = None
         self._stop = False
-        self.thread = threading.Thread(target=self._update, daemon=True)
-        self.thread.start()
+        # Finite sources (video files) are read synchronously per get_frame —
+        # a free-running grab thread would race to EOF before the consumer
+        # sees a single frame.  Live sources keep the always-newest thread.
+        self._is_stream = self.cap.get(cv2.CAP_PROP_FRAME_COUNT) <= 0
+        self.thread = None
+        if self._is_stream:
+            self.thread = threading.Thread(target=self._update, daemon=True)
+            self.thread.start()
 
     def _update(self):
         while not self._stop and self.cap.isOpened():
             self.status, self.frame = self.cap.read()
 
     def get_frame(self) -> Tuple[Optional[np.ndarray], bool]:
+        import cv2
+
+        if not self._is_stream:
+            self.status, self.frame = self.cap.read()
         if not self.status or self.frame is None:
             return None, False
-        return self.frame.astype(np.float32) / 255.0, True
+        rgb = cv2.cvtColor(self.frame, cv2.COLOR_BGR2RGB)
+        return rgb.astype(np.float32) / 255.0, True
 
     def close(self):
         self._stop = True

@@ -30,17 +30,11 @@ from feature_point_cnn_tpu.ops.matching import mnn_match
 
 def make_query_image(frame: np.ndarray, out_wh) -> np.ndarray:
     """Ratio-preserving resize + center crop (`inference.py:72-85`);
-    ``frame`` is (H, W, 3) float [0,1]; returns (out_h, out_w, 3) RGB."""
-    import cv2
+    ``frame`` is (H, W, 3) float RGB in [0,1]."""
+    from feature_point_cnn_tpu.utils.image import ratio_preserving_crop
 
     ow, oh = out_wh
-    ih, iw = frame.shape[:2]
-    scale = max(oh / ih, ow / iw)
-    nw, nh = int(iw * scale), int(ih * scale)
-    img = cv2.resize(frame, (nw, nh), interpolation=cv2.INTER_LINEAR)
-    x = nw // 2 - ow // 2
-    y = nh // 2 - oh // 2
-    return img[y : y + oh, x : x + ow]
+    return ratio_preserving_crop(frame, (oh, ow))
 
 
 def run_demo(
@@ -60,7 +54,11 @@ def run_demo(
         camera = Camera(int(source) if str(source).isdigit() else source)
 
     frontend = SuperPointFrontend(config=config, checkpoint_dir=weights_dir)
-    match_jit = jax.jit(functools.partial(mnn_match, cross_check=True))
+    match_jit = jax.jit(
+        functools.partial(
+            mnn_match, cross_check=True, max_l2_dist=config.nn_thresh
+        )
+    )
 
     win = None
     if show:

@@ -190,7 +190,10 @@ class SuperPointFrontend:
             kp, desc = extract_fn(
                 self.variables, image, model=self.model, config=cfg
             )
-            m = mnn_match(desc[0], kp.valid[0], key_desc, key_valid)
+            m = mnn_match(
+                desc[0], kp.valid[0], key_desc, key_valid,
+                max_l2_dist=cfg.nn_thresh,
+            )
             return (
                 kp.y[0], kp.x[0], kp.score[0], kp.valid[0],
                 m.index, m.valid, desc[0],

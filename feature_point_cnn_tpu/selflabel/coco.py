@@ -31,19 +31,13 @@ _IMG_EXTS = {".jpg", ".jpeg", ".png", ".bmp"}
 def load_and_crop(path: str, out_hw: Tuple[int, int]) -> Optional[np.ndarray]:
     """Ratio-preserving resize + center crop (`preprocess_coco.py:27-33`):
     returns ``(H, W, 3)`` float32 RGB in [0, 1]."""
+    from feature_point_cnn_tpu.utils.image import ratio_preserving_crop
+
     img = cv2.imread(path, cv2.IMREAD_COLOR)
     if img is None:
         return None
     img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
-    ih, iw = img.shape[:2]
-    oh, ow = out_hw
-    scale = max(oh / ih, ow / iw)
-    nh, nw = int(ih * scale), int(iw * scale)
-    img = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
-    y0 = (nh - oh) // 2
-    x0 = (nw - ow) // 2
-    img = img[y0 : y0 + oh, x0 : x0 + ow]
-    return img.astype(np.float32) / 255.0
+    return ratio_preserving_crop(img, out_hw).astype(np.float32) / 255.0
 
 
 def _batched_reader(

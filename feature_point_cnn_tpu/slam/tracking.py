@@ -107,6 +107,7 @@ class Tracker:
         )
         self._keyframe: Optional[FrameFeatures] = None
         self._key_pose = jnp.zeros(4)       # absolute Sim(2) of the keyframe
+        self._last_pose = jnp.zeros(4)      # last trusted absolute pose
         self._frame_index = 0
 
     def process(self, image: np.ndarray) -> Dict[str, object]:
@@ -126,10 +127,19 @@ class Tracker:
             feats, self._keyframe,
             jax.random.fold_in(self.key, self._frame_index),
         )
-        pose = sim2_compose(self._key_pose, est.rel_sim2)
         n_inl = int(est.num_inliers)
+        # trust the geometric estimate only with a minimal inlier support —
+        # RANSAC over <4 valid matches fits noise; committing such a pose
+        # would permanently corrupt the trajectory
+        trusted = n_inl >= max(4, self.min_inliers // 2)
+        if trusted:
+            pose = sim2_compose(self._key_pose, est.rel_sim2)
+            self._last_pose = pose
+        else:
+            pose = self._last_pose           # hold the last good pose (lost)
         promoted = n_inl < self.min_inliers
         if promoted:
+            # re-anchor the new keyframe at the best available pose
             self._keyframe = feats
             self._key_pose = pose
         return {
@@ -137,6 +147,7 @@ class Tracker:
             "num_matches": int(est.num_matches),
             "num_inliers": n_inl,
             "is_keyframe": promoted,
+            "tracked": trusted,
         }
 
     def track(self, images: Iterable[np.ndarray]) -> List[Dict[str, object]]:
