@@ -58,3 +58,31 @@ def replicate_state(state: Any, mesh: Mesh):
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, replicated(mesh)), state
     )
+
+
+# ---------------------------------------------------------------------------
+# Spatial (image) sharding — the CNN analog of sequence parallelism
+# ---------------------------------------------------------------------------
+
+def make_spatial_mesh(n_devices: Optional[int] = None, axis: str = "width") -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def spatial_sharding(mesh: Mesh, axis: str = "width") -> NamedSharding:
+    """Shard NHWC images along W across the mesh.
+
+    Convolutions over spatially sharded inputs compile under GSPMD with
+    automatic halo exchanges over ICI — this scales a SINGLE large image
+    across chips (the "context parallelism" analog for a conv net,
+    SURVEY.md §5 long-context note).  Widths must divide by the mesh size x
+    the total stride (cell) so cell boundaries align with shards.
+    """
+    return NamedSharding(mesh, P(None, None, axis, None))
+
+
+def shard_images_spatial(images, mesh: Mesh, axis: str = "width"):
+    """Place ``(B, H, W, C)`` images W-sharded on the mesh."""
+    return jax.device_put(images, spatial_sharding(mesh, axis))
