@@ -19,7 +19,6 @@ import time
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from feature_point_cnn_tpu.config import SuperPointConfig

@@ -12,7 +12,7 @@ decode/NMS/matching stack as the flagship ResNet model.
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

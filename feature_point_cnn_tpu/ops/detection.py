@@ -18,7 +18,7 @@ TPU-native re-design of the reference decode path
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -3,7 +3,6 @@
 OpenCV BFMatcher (`inference.py:88-96`)."""
 
 import cv2
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest

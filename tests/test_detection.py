@@ -3,7 +3,6 @@ full threshold/NMS/border/top-K extraction vs reference `get_points`
 semantics (`/root/reference/python/src/netutils.py:78-100`, `nms.py:4-53`).
 """
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

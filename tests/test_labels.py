@@ -6,7 +6,6 @@ reference encoding semantics (`/root/reference/python/src/netutils.py:31-75`).
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from feature_point_cnn_tpu.ops import labels as L
 

@@ -9,7 +9,7 @@ import pytest
 
 from feature_point_cnn_tpu.config import SuperPointConfig
 from feature_point_cnn_tpu.models.blocks import TorchConvTranspose, torch_conv
-from feature_point_cnn_tpu.models.superpoint import SuperPoint, init_superpoint
+from feature_point_cnn_tpu.models.superpoint import init_superpoint
 
 CFG = SuperPointConfig(train_image_size=(48, 64))
 

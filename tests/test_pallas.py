@@ -6,7 +6,7 @@ import jax
 import jax.numpy as jnp
 
 from feature_point_cnn_tpu.config import SuperPointConfig
-from feature_point_cnn_tpu.ops.detection import decode_prob_map, extract_keypoints
+from feature_point_cnn_tpu.ops.detection import decode_prob_map
 from feature_point_cnn_tpu.ops.pallas.decode import decode_threshold_pallas
 
 
@@ -30,7 +30,6 @@ def test_extract_fn_pallas_path_matches_xla_path(rng):
     """Full serving program equality between decode paths."""
     from feature_point_cnn_tpu.inference.wrapper import extract_fn
     from feature_point_cnn_tpu.models.superpoint import init_superpoint
-    import functools
 
     cfg_on = SuperPointConfig(
         train_image_size=(48, 64), max_keypoints=64,

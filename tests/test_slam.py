@@ -6,8 +6,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from feature_point_cnn_tpu.config import SuperPointConfig
-from feature_point_cnn_tpu.geometry.homography import sample_homography, warp_points
+from feature_point_cnn_tpu.geometry.homography import sample_homography
 from feature_point_cnn_tpu.slam import posegraph as PG
 from feature_point_cnn_tpu.slam.trajectory import absolute_trajectory_error
 from feature_point_cnn_tpu.slam.twoview import (
