@@ -78,9 +78,18 @@ def preprocess_folder(
     shard_index: int = 0,
     num_shards: int = 1,
     limit: int = 0,
+    use_mesh: bool = True,
 ) -> int:
     """Label every image under ``image_dir`` into ``output_dir`` npz items
-    (`preprocess_coco.py:64-74`).  Returns the item count written."""
+    (`preprocess_coco.py:64-74`).  Returns the item count written.
+
+    Two levels of parallelism (SURVEY.md §7 stage 5): the file list shards
+    across HOSTS (``shard_index``/``num_shards``), and each host's batch
+    shards across its CHIPS via the data mesh (``use_mesh``) — the jitted
+    adaptation program partitions automatically over sharded inputs."""
+    from feature_point_cnn_tpu.parallel.mesh import batch_sharding, make_mesh
+
+    mesh = make_mesh(batch_size=batch_size) if use_mesh else None
     out = Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
     paths = sorted(
@@ -100,8 +109,13 @@ def preprocess_folder(
         if n_real < batch_size:
             pad = np.zeros((batch_size - n_real,) + images.shape[1:], images.dtype)
             images = np.concatenate([images, pad])
+        device_images = images
+        if mesh is not None and mesh.devices.size > 1:
+            device_images = jax.device_put(
+                jax.numpy.asarray(images), batch_sharding(mesh)
+            )
         points = frontend.run_with_homography_adaptation(
-            images, homo_config, jax.random.fold_in(key, i)
+            device_images, homo_config, jax.random.fold_in(key, i)
         )
         for j in range(n_real):
             name = Path(names[j]).stem
