@@ -63,6 +63,9 @@ class SuperPointConfig:
     adam_beta2: float = 0.999
     adam_eps: float = 1.0e-8
     weight_decay: float = 0.01
+    grad_clip_norm: float = 5.0       # global-norm clip; 0 disables.  With
+                                      # skip-nonfinite steps this replaces the
+                                      # reference's GradScaler safety net
     epochs: int = 100
 
     # --- numerics: bf16 compute replaces AMP + GradScaler

@@ -50,6 +50,13 @@ def make_optimizer(
         weight_decay=config.weight_decay,
         mask=decay_mask,
     )
+    if config.grad_clip_norm > 0:
+        tx = optax.chain(optax.clip_by_global_norm(config.grad_clip_norm), tx)
+    # Skip steps whose gradients contain inf/NaN — the protection the
+    # reference gets implicitly from GradScaler.step (`basetrainer.py:154-158`
+    # skips unscaled-inf steps); without it bf16 joint training can diverge
+    # within tens of steps.
+    tx = optax.apply_if_finite(tx, max_consecutive_errors=1000)
     if frozen_subtree is not None:
         labels = {
             k: ("frozen" if k == frozen_subtree else "trained") for k in params
