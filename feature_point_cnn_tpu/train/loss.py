@@ -86,9 +86,17 @@ def detector_loss(
 
 
 def _l2_normalize(x: jnp.ndarray, axis: int) -> jnp.ndarray:
-    """torch F.normalize semantics: ``x / max(||x||, 1e-12)``."""
-    norm = jnp.linalg.norm(x, axis=axis, keepdims=True)
-    return x / jnp.maximum(norm, 1e-12)
+    """torch F.normalize semantics, differentiably safe at zero.
+
+    ``x / max(||x||, eps)`` matches torch in value, but ``||x||``'s JAX
+    gradient at an exactly-zero row is NaN (0/0 through sqrt), and relu'd
+    dot-product rows ARE exactly zero early in descriptor training — every
+    joint-phase gradient was NaN before this form.  The smooth
+    ``x * rsqrt(sum x^2 + eps^2)`` is identical to torch to ~1e-10 relative
+    for healthy rows and has bounded gradients at zero.
+    """
+    sq = jnp.sum(x * x, axis=axis, keepdims=True)
+    return x * jax.lax.rsqrt(sq + 1e-12)
 
 
 def descriptor_loss(
