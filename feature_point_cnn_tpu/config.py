@@ -48,7 +48,18 @@ class SuperPointConfig:
     lambda_d: float = 250.0
     positive_margin: float = 1.0
     negative_margin: float = 0.2
-    detector_loss: str = "distance"   # "distance" (reference deviation) | "ce"
+    detector_loss: str = "ce"         # "ce" (vanilla SuperPoint CE) | "distance"
+                                      # CAUTION on "distance" (the reference's
+                                      # deviation, losses.py:40-63): it trains
+                                      # the soft-argmax POSITION but never
+                                      # concentrates probability mass, so cell
+                                      # confidences collapse below the 0.015
+                                      # operating threshold (measured:
+                                      # repeatability ~0 after convergence).
+                                      # The reference escapes this only via its
+                                      # zero-gradient hard-argmax bug, which
+                                      # leaves corner cells at their (near-
+                                      # uniform, above-threshold) init.
     descriptor_loss: str = "hinge"    # "hinge" (losses.py:194-276) | "mse"
                                       # (the reference's dead alternative,
                                       # losses.py:137-192)
