@@ -121,7 +121,7 @@ class BatchLoader:
         if self.shuffle:
             np.random.default_rng(self.seed + epoch_index).shuffle(order)
         n_batches = len(self)
-        out_q: "queue.Queue[Optional[Dict[str, np.ndarray]]]" = queue.Queue(
+        out_q: "queue.Queue" = queue.Queue(
             maxsize=self.prefetch
         )
         batch_indices = [

@@ -65,10 +65,7 @@ def replicate_state(state: Any, mesh: Mesh):
 # ---------------------------------------------------------------------------
 
 def make_spatial_mesh(n_devices: Optional[int] = None, axis: str = "width") -> Mesh:
-    devices = jax.devices()
-    if n_devices is not None:
-        devices = devices[:n_devices]
-    return Mesh(np.asarray(devices), (axis,))
+    return make_mesh(n_devices, axis=axis)
 
 
 def spatial_sharding(mesh: Mesh, axis: str = "width") -> NamedSharding:

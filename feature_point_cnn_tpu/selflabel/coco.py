@@ -87,9 +87,18 @@ def preprocess_folder(
     across HOSTS (``shard_index``/``num_shards``), and each host's batch
     shards across its CHIPS via the data mesh (``use_mesh``) — the jitted
     adaptation program partitions automatically over sharded inputs."""
-    from feature_point_cnn_tpu.parallel.mesh import batch_sharding, make_mesh
+    from feature_point_cnn_tpu.parallel.mesh import (
+        batch_sharding,
+        make_mesh,
+        replicate_state,
+    )
 
     mesh = make_mesh(batch_size=batch_size) if use_mesh else None
+    if mesh is not None and mesh.devices.size > 1:
+        # checkpoint restores commit variables to device 0; the jitted call
+        # would reject mixed (committed single-device vars, mesh-sharded
+        # images) placements
+        frontend.variables = replicate_state(frontend.variables, mesh)
     out = Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
     paths = sorted(
@@ -111,9 +120,8 @@ def preprocess_folder(
             images = np.concatenate([images, pad])
         device_images = images
         if mesh is not None and mesh.devices.size > 1:
-            device_images = jax.device_put(
-                jax.numpy.asarray(images), batch_sharding(mesh)
-            )
+            # shard straight from host memory (no staging via device 0)
+            device_images = jax.device_put(images, batch_sharding(mesh))
         points = frontend.run_with_homography_adaptation(
             device_images, homo_config, jax.random.fold_in(key, i)
         )

@@ -45,7 +45,7 @@ def detector_loss(
     targets: jnp.ndarray,
     valid_mask: Optional[jnp.ndarray],
     cell: int,
-    kind: str = "distance",
+    kind: str = "ce",
     hard_assignment: bool = False,
 ) -> jnp.ndarray:
     """Detector head loss.
@@ -64,6 +64,16 @@ def detector_loss(
     ce = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
     if kind == "ce":
         return _masked_mean(ce, valid_mask)
+
+    import warnings
+
+    warnings.warn(
+        "detector_loss kind='distance' constrains only the soft-argmax "
+        "position; cell confidences collapse below the fixed 0.015 "
+        "operating threshold after convergence (see RESULTS.md). "
+        "Prefer kind='ce'.",
+        stacklevel=2,
+    )
 
     probs = jax.nn.softmax(logits, axis=-1)
     idx = jnp.arange(logits.shape[-1], dtype=jnp.float32)

@@ -55,8 +55,10 @@ def make_optimizer(
     # Skip steps whose gradients contain inf/NaN — the protection the
     # reference gets implicitly from GradScaler.step (`basetrainer.py:154-158`
     # skips unscaled-inf steps); without it bf16 joint training can diverge
-    # within tens of steps.
-    tx = optax.apply_if_finite(tx, max_consecutive_errors=1000)
+    # within tens of steps.  The error budget is effectively infinite:
+    # apply_if_finite APPLIES the poisoned update once the budget is
+    # exhausted, which must never happen (GradScaler never does).
+    tx = optax.apply_if_finite(tx, max_consecutive_errors=10**9)
     if frozen_subtree is not None:
         labels = {
             k: ("frozen" if k == frozen_subtree else "trained") for k in params

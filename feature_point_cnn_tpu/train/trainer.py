@@ -76,7 +76,23 @@ class Trainer:
         # resume / phase hand-off
         self.manager = ckpt.checkpoint_manager(checkpoint_dir)
         self.start_epoch = 0
-        restored_epoch, state = ckpt.restore_latest(self.manager, state)
+        try:
+            restored_epoch, state = ckpt.restore_latest(self.manager, state)
+        except Exception as e:
+            # optimizer-layout changes make old opt_states structurally
+            # unrestorable; salvage params/batch_stats and restart the
+            # optimizer instead of refusing to resume
+            restored_epoch, raw = ckpt.restore_latest_raw(self.manager)
+            if restored_epoch is None:
+                raise
+            state = state.replace(
+                params=raw["params"], batch_stats=raw["batch_stats"]
+            )
+            print(
+                f"[trainer] WARNING: checkpoint opt_state layout mismatch "
+                f"({type(e).__name__}); restored params/stats only, fresh "
+                f"optimizer"
+            )
         if restored_epoch is not None:
             self.start_epoch = restored_epoch + 1
             print(f"[trainer] resumed epoch {restored_epoch} from {checkpoint_dir}")

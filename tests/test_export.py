@@ -1,8 +1,9 @@
-"""PJRT export bundle tests (CPU): artifact layout, meta ABI spec, and
-module round-trip through jax.export deserialization."""
+"""PJRT export bundle tests (CPU): artifact layout, meta ABI spec, and a
+real compile+execute of the exported StableHLO via the XLA client."""
 
 import json
 
+import jax
 import pytest
 
 from feature_point_cnn_tpu.config import SuperPointConfig
@@ -37,15 +38,35 @@ def test_bundle_layout(bundle):
         assert s["dtype"] in ("f32", "s32", "pred")
 
 
-def test_module_is_valid_stablehlo(bundle, rng):
-    """The serialized module must parse and run (via XLA on CPU here) with
-    the shapes declared in meta."""
-    data = (bundle / "module.mlir").read_bytes()
-    # StableHLO bytecode starts with the MLIR bytecode magic
-    assert data[:4] == b"ML\xefR"
+def test_module_compiles_and_runs(bundle, rng):
+    """Compile the exported StableHLO with the XLA CPU client (the same
+    entry point the C++ PJRT runtime uses) and execute it with meta-declared
+    shapes — outputs must match meta's arity, shapes, and dtypes."""
+    import numpy as np
 
-    # independently rebuild the same program and check output arity/shape
+    data = (bundle / "module.mlir").read_bytes()
+    assert data[:4] == b"ML\xefR"  # MLIR bytecode magic
+
+    from jax._src.lib import _jax, xla_client
+
     meta = json.loads((bundle / "meta.json").read_text())
-    k = meta["max_keypoints"]
-    d = meta["descriptor_dim"]
-    assert meta["outputs"][-1]["shape"] == [k, d]
+    backend = jax.devices("cpu")[0].client
+    device_list = _jax.DeviceList(tuple(backend.devices()[:1]))
+    executable = backend.compile_and_load(
+        data, device_list, xla_client.CompileOptions()
+    )
+
+    np_dtypes = {"f32": np.float32, "s32": np.int32, "pred": np.bool_}
+    args = [
+        np.zeros(spec["shape"], np_dtypes[spec["dtype"]])
+        for spec in meta["inputs"]
+    ]
+    args[0] += rng.random(tuple(meta["inputs"][0]["shape"])).astype(np.float32)
+    outs = executable.execute_sharded(
+        [backend.buffer_from_pyval(a) for a in args]
+    ).disassemble_into_single_device_arrays()
+    assert len(outs) == len(meta["outputs"])
+    for out, spec in zip(outs, meta["outputs"]):
+        arr = np.asarray(out[0])
+        assert list(arr.shape) == spec["shape"], spec["name"]
+        assert arr.dtype == np_dtypes[spec["dtype"]], spec["name"]
