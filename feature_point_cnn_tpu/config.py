@@ -67,9 +67,22 @@ class SuperPointConfig:
     # --- training (settings.py:17-30) ---
     train_image_size: Tuple[int, int] = (240, 320)
     batch_size: int = 32
-    grad_accum_steps: int = 1         # lax.scan microbatching; replaces
-                                      # the reference's batch_size_divider
+    grad_accum_steps: int = 1         # optax.MultiSteps accumulation across
+                                      # k FULL-size batches (k x effective
+                                      # batch); differs from the reference's
+                                      # batch_size_divider, which SPLITS one
+                                      # batch into micro-batches (same
+                                      # effective batch, less memory)
     learning_rate: float = 1.0e-3
+    lr_schedule: str = "warmup_cosine"  # "constant" | "warmup_cosine".  The
+                                      # reference ships a dead scheduler
+                                      # (`basetrainer.py:217-220`, commented
+                                      # out) and trains at constant 1e-3; a
+                                      # transient F1 collapse was observed at
+                                      # constant LR (RESULTS.md round 1), so
+                                      # warmup+cosine is the default here.
+    warmup_steps: int = 200           # linear warmup from 0
+    lr_final_ratio: float = 0.05      # cosine floor as a fraction of peak
     adam_beta1: float = 0.9
     adam_beta2: float = 0.999
     adam_eps: float = 1.0e-8

@@ -129,15 +129,22 @@ class BatchLoader:
             for i in range(n_batches)
         ]
 
+        fast = getattr(self.dataset, "read_batch", None)
+
         def worker():
-            # parallel npz decode within each batch (IO + zlib release the GIL)
+            # packed datasets assemble a batch in one fancy-index copy;
+            # npz datasets decode items in parallel (IO + zlib drop the GIL)
             try:
-                with ThreadPoolExecutor(self.num_threads) as pool:
+                if fast is not None:
                     for idxs in batch_indices:
-                        samples = list(
-                            pool.map(self.dataset.read, (int(i) for i in idxs))
-                        )
-                        out_q.put(_assemble_batch(samples, self.max_points))
+                        out_q.put(fast(idxs, self.max_points))
+                else:
+                    with ThreadPoolExecutor(self.num_threads) as pool:
+                        for idxs in batch_indices:
+                            samples = list(
+                                pool.map(self.dataset.read, (int(i) for i in idxs))
+                            )
+                            out_q.put(_assemble_batch(samples, self.max_points))
                 out_q.put(None)
             except BaseException as e:  # surface reader crashes to the consumer
                 out_q.put(e)

@@ -55,11 +55,11 @@ def _blur(key, img):
 
 def _noise(key, img):
     """One of: multiplicative (0.9-1.1) or additive gaussian noise."""
-    kc, kn = jax.random.split(key)
+    kc, km, ka = jax.random.split(key, 3)
     mult = img * jax.random.uniform(
-        kn, img.shape[:2] + (1,), minval=0.9, maxval=1.1
+        km, img.shape[:2] + (1,), minval=0.9, maxval=1.1
     )
-    add = img + 0.05 * jax.random.normal(kn, img.shape)
+    add = img + 0.05 * jax.random.normal(ka, img.shape)
     return jnp.where(_rand_bool(kc, 0.5), mult, add)
 
 

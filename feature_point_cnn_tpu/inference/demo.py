@@ -85,11 +85,13 @@ def run_demo(
             frame = cv2.blur(frame, (3, 3))
         query = make_query_image(frame, (width, height))
         kp, desc = frontend.extract(query[None])
-        if key_desc is None:
+        first_frame = key_desc is None
+        if first_frame:
             key_kp, key_desc = kp, desc
         m = match_jit(desc[0], kp.valid[0], key_desc[0], key_kp.valid[0])
         n_matches = int(m.num)
-        match_hist.append(n_matches)
+        if not first_frame:  # keyframe-init frame self-matches trivially
+            match_hist.append(n_matches)
 
         t_now = time.perf_counter()
         fps = 1.0 / max(t_now - t_prev, 1e-6)

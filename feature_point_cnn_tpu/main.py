@@ -77,15 +77,18 @@ def config_from_args(opt) -> SuperPointConfig:
     return cfg
 
 
-def _loaders(cfg, path):
-    from feature_point_cnn_tpu.data.datasets import BatchLoader, NpzPointDataset
+def _loaders(cfg, path, test_size: int = 0):
+    from feature_point_cnn_tpu.data.datasets import BatchLoader
+    from feature_point_cnn_tpu.data.packed import open_dataset
 
     train = BatchLoader(
-        NpzPointDataset(path, "train"), cfg.batch_size, cfg.max_points
+        open_dataset(path, "train"), cfg.batch_size, cfg.max_points
     )
+    # cap the test split like the reference's SuperPoint trainer
+    # (`superpointtrainer.py:11`: 1000 items) so per-epoch eval stays cheap
     test = BatchLoader(
-        NpzPointDataset(path, "test"), cfg.batch_size, cfg.max_points,
-        shuffle=False,
+        open_dataset(path, "test", size=test_size), cfg.batch_size,
+        cfg.max_points, shuffle=False,
     )
     return train, test
 
@@ -140,7 +143,7 @@ def main(argv=None) -> None:
             ).train()
         elif opt.coco_path:
             print("SuperPoint joint training...")
-            train, test = _loaders(cfg, opt.coco_path)
+            train, test = _loaders(cfg, opt.coco_path, test_size=1000)
             Trainer(
                 cfg, "superpoint", train, test,
                 checkpoint_dir=opt.checkpoint_path,

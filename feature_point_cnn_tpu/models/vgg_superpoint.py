@@ -6,7 +6,7 @@ The reference's C++ app hand-builds this variant as its fallback model
 pairs (total stride 8), detector head 128->256->65, descriptor head
 128->256->256 with in-model L2 normalization.  Implemented here as a Flax
 module so magicleap-style checkpoints can be imported (see
-``torch_import.vgg_params_from_torch_state``) and served through the same
+``torch_import.vgg_variables_from_torch_state``) and served through the same
 decode/NMS/matching stack as the flagship ResNet model.
 """
 

@@ -34,16 +34,37 @@ def decay_mask(params: Any) -> Any:
     )
 
 
+def make_schedule(config: SuperPointConfig, total_steps: Optional[int] = None):
+    """LR schedule.  The reference's scheduler is dead code
+    (`basetrainer.py:217-220`) and it trains at constant 1e-3; round-1
+    training at constant LR showed a transient F1 collapse (RESULTS.md), so
+    the default is linear warmup + cosine decay to
+    ``lr_final_ratio * learning_rate`` over ``total_steps``."""
+    if config.lr_schedule == "constant" or not total_steps:
+        return config.learning_rate
+    if config.lr_schedule != "warmup_cosine":
+        raise ValueError(f"unknown lr_schedule {config.lr_schedule!r}")
+    warmup = min(config.warmup_steps, max(total_steps // 10, 1))
+    return optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=config.learning_rate,
+        warmup_steps=warmup,
+        decay_steps=total_steps,
+        end_value=config.learning_rate * config.lr_final_ratio,
+    )
+
+
 def make_optimizer(
     config: SuperPointConfig,
     params: Any,
     frozen_subtree: Optional[str] = None,
+    total_steps: Optional[int] = None,
 ) -> optax.GradientTransformation:
     """AdamW with decay mask; optionally freezes a top-level subtree
     (e.g. ``"descriptor"`` during the MagicPoint phase) and wraps in
     MultiSteps when ``grad_accum_steps > 1``."""
     tx = optax.adamw(
-        learning_rate=config.learning_rate,
+        learning_rate=make_schedule(config, total_steps),
         b1=config.adam_beta1,
         b2=config.adam_beta2,
         eps=config.adam_eps,

@@ -38,6 +38,21 @@ from feature_point_cnn_tpu.train.loss import detector_loss, global_loss
 from feature_point_cnn_tpu.utils.metrics import samplewise_f1
 
 
+def _prep_images(images: jnp.ndarray, config: SuperPointConfig) -> jnp.ndarray:
+    """Normalize a batch to ``(B, H, W, image_channels) float32 in [0, 1]``.
+
+    Packed loaders ship raw ``uint8`` (possibly single-channel) batches so
+    the host does no float conversion and the relay moves 12x fewer bytes
+    (`data/packed.py:read_batch`); the reference does this work per item in
+    DataLoader workers (`dataset_utils.py:12-32`).
+    """
+    if images.dtype == jnp.uint8:
+        images = images.astype(jnp.float32) / 255.0
+    if images.shape[-1] == 1 and config.image_channels > 1:
+        images = jnp.repeat(images, config.image_channels, axis=-1)
+    return images
+
+
 def _grad_norms(grads) -> Dict[str, jnp.ndarray]:
     """Per-head gradient global norms — the scalar core of the reference's
     per-parameter grad histograms (`basetrainer.py:265-274`)."""
@@ -88,7 +103,7 @@ def magicpoint_train_step(
     tx,
     config: SuperPointConfig,
 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
-    images = batch["image"]
+    images = _prep_images(batch["image"], config)
     b, h, w, _ = images.shape
     key, k_photo = jax.random.split(key)
     if config.photometric_augment:
@@ -131,7 +146,7 @@ def magicpoint_eval_step(
     model,
     config: SuperPointConfig,
 ) -> Dict[str, jnp.ndarray]:
-    images = batch["image"]
+    images = _prep_images(batch["image"], config)
     b, h, w, _ = images.shape
     labels = make_points_labels_batch(
         batch["points"], batch["points_valid"], key, h, w, config.cell
@@ -149,7 +164,7 @@ def magicpoint_eval_step(
 # ---------------------------------------------------------------------------
 
 def _augment_and_encode(batch, key, config, homo_config):
-    images = batch["image"]
+    images = _prep_images(batch["image"], config)
     b, h, w, _ = images.shape
     k_aug, k_lab, k_wlab, k_photo = jax.random.split(key, 4)
     if config.photometric_augment:

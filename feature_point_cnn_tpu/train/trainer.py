@@ -70,7 +70,14 @@ class Trainer:
             jax.random.fold_in(self.base_key, 17), config
         )
         frozen = "descriptor" if phase == "magicpoint" else None
-        self.tx = make_optimizer(config, variables["params"], frozen_subtree=frozen)
+        total_steps = len(train_loader) * config.epochs
+        from feature_point_cnn_tpu.train.optimizer import make_schedule
+
+        self._schedule = make_schedule(config, total_steps)
+        self.tx = make_optimizer(
+            config, variables["params"], frozen_subtree=frozen,
+            total_steps=total_steps,
+        )
         state = S.create_train_state(variables, self.tx)
 
         # resume / phase hand-off
@@ -166,7 +173,7 @@ class Trainer:
         from feature_point_cnn_tpu.ops.labels import make_points_labels_batch, make_prob_map_from_labels
         from feature_point_cnn_tpu.utils.summary import keypoint_overlay
 
-        img = jax.numpy.asarray(batch["image"][:1])
+        img = S._prep_images(jax.numpy.asarray(batch["image"][:1]), self.config)
         prob = self._prob_fn(self.state.params, self.state.batch_stats, img)
         kp = extract_keypoints(prob, self.config)
         v = np.asarray(kp.valid[0])
@@ -203,6 +210,10 @@ class Trainer:
                 m = {k: float(v) for k, v in metrics.items()}
                 logged.append(m)
                 step = int(self.state.step)
+                m["lr"] = (
+                    float(self._schedule(step))
+                    if callable(self._schedule) else float(self._schedule)
+                )
                 for k, v in m.items():
                     self.writer.scalar(f"train/{k}", v, step)
                 if (i + 1) % (self.log_every * 4) == 0:
@@ -244,8 +255,17 @@ class Trainer:
         ckpt.save_state(self.manager, epoch, host_state)
 
     def train(self, epochs: Optional[int] = None) -> None:
+        """Train up to ``epochs`` TOTAL epochs (counting restored ones) —
+        re-running the same command after an interruption converges on the
+        same total, matching the reference's resume semantics
+        (`basetrainer.py:229-236`)."""
         epochs = epochs or self.config.epochs
-        end = self.start_epoch + epochs
+        end = max(self.start_epoch, epochs)
+        if end == self.start_epoch:
+            print(
+                f"[trainer] nothing to do: resumed epoch {self.start_epoch - 1}"
+                f" >= target {epochs}"
+            )
         for epoch in range(self.start_epoch, end):
             print(f"=== {self.phase} epoch {epoch} ===")
             self.train_epoch(epoch)

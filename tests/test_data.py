@@ -90,3 +90,74 @@ def test_batch_loader_reshuffles(tiny_dataset):
 def test_dataset_size_cap(tiny_dataset):
     ds = NpzPointDataset(str(tiny_dataset), "test", size=4)
     assert len(ds) == 4
+
+
+# ---------------------------------------------------------------------------
+# Packed memmap format (data/packed.py)
+# ---------------------------------------------------------------------------
+
+def test_pack_roundtrip(tiny_dataset, tmp_path):
+    from feature_point_cnn_tpu.data.packed import (
+        PackedPointDataset,
+        is_packed,
+        open_dataset,
+        pack_dataset,
+    )
+
+    out = tmp_path / "packed"
+    pack_dataset(str(tiny_dataset), str(out))
+    assert is_packed(str(out), "train") and is_packed(str(out), "test")
+
+    npz = NpzPointDataset(str(tiny_dataset), "train", seed=3)
+    pk = PackedPointDataset(str(out), "train", seed=3)
+    assert len(pk) == len(npz) == 12
+
+    # every packed item matches some npz item exactly (uint8 quantization is
+    # lossless: generated images are uint8-valued floats)
+    npz_items = [npz.read(i) for i in range(len(npz))]
+    for i in range(len(pk)):
+        img, pts = pk.read(i)
+        assert img.shape == (48, 64, 3) and img.dtype == np.float32
+        match = [
+            j for j, (im2, p2) in enumerate(npz_items)
+            if im2.shape == img.shape and np.array_equal(im2, img)
+            and np.array_equal(p2, pts)
+        ]
+        assert match, f"packed item {i} not found among npz items"
+
+    assert isinstance(open_dataset(str(out), "train"), PackedPointDataset)
+    assert isinstance(
+        open_dataset(str(tiny_dataset), "train"), NpzPointDataset
+    )
+
+
+def test_packed_batch_loader_uint8(tiny_dataset, tmp_path):
+    from feature_point_cnn_tpu.data.packed import PackedPointDataset, pack_dataset
+
+    out = tmp_path / "packed"
+    pack_dataset(str(tiny_dataset), str(out))
+    ds = PackedPointDataset(str(out), "train", seed=0)
+    loader = BatchLoader(ds, batch_size=4, max_points=32, seed=0)
+    batches = list(loader.epoch(0))
+    assert len(batches) == 3
+    for b in batches:
+        # raw uint8 single-channel: device-side _prep_images expands it
+        assert b["image"].shape == (4, 48, 64, 1)
+        assert b["image"].dtype == np.uint8
+        assert b["points"].shape == (4, 32, 2)
+        assert b["points_valid"].shape == (4, 32)
+
+    # same underlying items as the npz loader, modulo batch-internal order
+    npz_loader = BatchLoader(
+        NpzPointDataset(str(tiny_dataset), "train", seed=0),
+        batch_size=4, max_points=32, seed=0,
+    )
+    pk_sums = sorted(
+        float(img.sum())
+        for b in batches for img in b["image"].astype(np.float32) / 255.0
+    )
+    npz_sums = sorted(
+        float(img[..., 0].sum())
+        for b in npz_loader.epoch(0) for img in b["image"]
+    )
+    np.testing.assert_allclose(pk_sums, npz_sums, rtol=1e-5)

@@ -176,3 +176,45 @@ def test_grad_accum_multisteps(rng):
         s1.params["encoder"], s2.params["encoder"],
     )
     assert any(jax.tree_util.tree_leaves(changed))
+
+
+def test_uint8_batch_matches_float(rng):
+    """Raw uint8 single-channel batches (packed loader fast path) produce the
+    same step as pre-converted float batches."""
+    model, variables = init_superpoint(jax.random.PRNGKey(0), CFG)
+    tx = make_optimizer(CFG, variables["params"])
+    state = S.create_train_state(variables, tx)
+    img_u8 = (rng.random((2, 48, 64, 1)) * 255).astype(np.uint8)
+    img_f = np.repeat(img_u8.astype(np.float32) / 255.0, 3, axis=-1)
+    pts = rng.random((2, 8, 2)) * [47, 63]
+    mk = lambda img: {
+        "image": jnp.asarray(img),
+        "points": jnp.asarray(pts, jnp.float32),
+        "points_valid": jnp.ones((2, 8), bool),
+    }
+    s_u8, m_u8 = S.magicpoint_train_step(
+        state, mk(img_u8), jax.random.PRNGKey(1), model=model, tx=tx, config=CFG
+    )
+    s_f, m_f = S.magicpoint_train_step(
+        state, mk(img_f), jax.random.PRNGKey(1), model=model, tx=tx, config=CFG
+    )
+    np.testing.assert_allclose(
+        float(m_u8["loss"]), float(m_f["loss"]), rtol=1e-6
+    )
+
+
+def test_lr_schedule_warmup_cosine():
+    from feature_point_cnn_tpu.train.optimizer import make_schedule
+
+    cfg = CFG.replace(lr_schedule="warmup_cosine", warmup_steps=10,
+                      learning_rate=1e-3, lr_final_ratio=0.1)
+    sched = make_schedule(cfg, total_steps=100)
+    assert float(sched(0)) == 0.0
+    np.testing.assert_allclose(float(sched(10)), 1e-3, rtol=1e-6)
+    assert float(sched(50)) < 1e-3
+    np.testing.assert_allclose(float(sched(100)), 1e-4, rtol=1e-5)
+    # constant fallback
+    cfg2 = cfg.replace(lr_schedule="constant")
+    assert make_schedule(cfg2, total_steps=100) == 1e-3
+    # no total steps -> constant
+    assert make_schedule(cfg, total_steps=None) == 1e-3
