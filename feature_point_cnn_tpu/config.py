@@ -34,8 +34,11 @@ class SuperPointConfig:
     # --- fixed-shape keypoint representation (TPU-native; replaces the
     # reference's ragged numpy arrays, netutils.py:78-100) ---
     max_keypoints: int = 1024         # K: keypoints padded/truncated to this
-    nms_iters: int = 4                # suppression rounds; exact greedy NMS for
-                                      # score-descending chains up to this depth
+    nms_iters: int = 0                # 0 = iterate suppression rounds to
+                                      # convergence (EXACT greedy NMS at any
+                                      # chain depth, lax.while_loop); >0 =
+                                      # that many fixed unrolled rounds
+                                      # (exact only up to that chain depth)
     use_pallas_decode: str = "auto"   # fused Pallas decode kernel in serving:
                                       # "auto" (on TPU), "on", "off"
 

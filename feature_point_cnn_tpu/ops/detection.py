@@ -70,22 +70,60 @@ def _maxpool(x: jnp.ndarray, radius: int) -> jnp.ndarray:
 
 
 def grid_nms(
-    scores: jnp.ndarray, dist_thresh: int, num_iters: int = 4
+    scores: jnp.ndarray, dist_thresh: int, num_iters: int = 0
 ) -> jnp.ndarray:
     """Greedy grid NMS as iterated max-pool suppression.
 
     ``scores``: ``(B, H, W)`` with non-candidates already zeroed.  Returns the
     same shape with suppressed entries zeroed.  Matches `corners_nms`
     (`nms.py:4-53`) — suppression window is the inf-norm ball of radius
-    ``dist_thresh`` — exactly, for suppression chains up to ``num_iters``.
+    ``dist_thresh``.
+
+    Each round keeps every point that is the maximum of its window among
+    not-yet-suppressed candidates (such a point has no larger candidate
+    within ``dist_thresh``, so greedy NMS would keep it too), then
+    suppresses its neighborhood.  With ``num_iters=0`` (default) the rounds
+    run under `lax.while_loop` until every candidate is either kept or
+    suppressed — **exact** greedy equivalence at any suppression-chain
+    depth (adversarial monotone ramps need ~W/(2d+1) rounds; typical maps
+    converge in <6).  A positive ``num_iters`` unrolls that many fixed
+    rounds instead (exact only for chains that deep; ties differ from
+    greedy either way: greedy keeps the first in scan order, this keeps
+    both).
     """
     pos = scores > 0.0
-    keep = pos & (scores == _maxpool(scores, dist_thresh))
-    for _ in range(num_iters - 1):
+
+    def one_round(keep):
         suppressed = _maxpool(keep.astype(jnp.float32), dist_thresh) > 0.0
-        remaining = jnp.where(suppressed, 0.0, scores)
-        new_keep = (remaining > 0.0) & (remaining == _maxpool(remaining, dist_thresh))
-        keep = keep | new_keep
+        remaining = jnp.where(suppressed | ~pos, 0.0, scores)
+        new_keep = (remaining > 0.0) & (
+            remaining == _maxpool(remaining, dist_thresh)
+        )
+        return keep | new_keep
+
+    if num_iters > 0:
+        keep = pos & (scores == _maxpool(scores, dist_thresh))
+        for _ in range(num_iters - 1):
+            keep = one_round(keep)
+    else:
+        def unresolved(keep):
+            covered = _maxpool(keep.astype(jnp.float32), dist_thresh) > 0.0
+            return jnp.any(pos & ~covered)
+
+        # every round resolves >= one candidate per open region; H*W bounds it
+        cap = scores.shape[-2] * scores.shape[-1]
+
+        def cond(carry):
+            keep, i = carry
+            return unresolved(keep) & (i < cap)
+
+        def body(carry):
+            keep, i = carry
+            return one_round(keep), i + 1
+
+        keep, _ = jax.lax.while_loop(
+            cond, body, (jnp.zeros_like(pos), jnp.zeros((), jnp.int32))
+        )
     return jnp.where(keep, scores, 0.0)
 
 

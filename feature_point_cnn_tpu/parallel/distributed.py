@@ -11,16 +11,30 @@ Usage on each host of a slice:
     from feature_point_cnn_tpu.parallel import distributed
     distributed.initialize()            # no-op on single host
     mesh = distributed.global_mesh()    # all chips across all hosts
+
+Exercised for real by ``tests/test_distributed.py``: two CPU processes with
+gloo collectives run one sharded train step and must agree bit-for-bit on
+the updated parameters.
 """
 
 from __future__ import annotations
 
 import os
-from typing import Optional
+from typing import Any, Dict, Optional
 
 import jax
 import numpy as np
-from jax.sharding import Mesh
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# Environment markers that mean "we are one process of a multi-process job".
+# Deliberately NOT ``TPU_WORKER_HOSTNAMES``: the axon PJRT relay sets that
+# for single-host tunnel sessions (see csrc/pjrt_runtime.cc), so sniffing it
+# would try to rendezvous with a nonexistent coordinator and hang.
+_COORDINATOR_VARS = (
+    "MEGASCALE_COORDINATOR_ADDRESS",
+    "COORDINATOR_ADDRESS",
+    "JAX_COORDINATOR_ADDRESS",
+)
 
 
 def initialize(
@@ -35,13 +49,11 @@ def initialize(
     no coordinator is configured).
     """
     if num_processes is None and coordinator_address is None:
-        in_pod = any(
-            v in os.environ
-            for v in ("TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS",
-                      "COORDINATOR_ADDRESS")
-        )
-        if not in_pod:
+        if not any(v in os.environ for v in _COORDINATOR_VARS):
             return
+        coordinator_address = next(
+            os.environ[v] for v in _COORDINATOR_VARS if v in os.environ
+        )
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
@@ -61,3 +73,33 @@ def process_shard(n_items: int) -> slice:
     start = pid * per
     end = start + per if pid < n - 1 else n_items
     return slice(start, end)
+
+
+def make_global_batch(
+    batch: Dict[str, Any], mesh: Mesh, axis: str = "data"
+) -> Dict[str, Any]:
+    """Assemble each host's LOCAL batch into one global batch-sharded array.
+
+    Each process feeds its ``global_batch / process_count`` slice; the
+    result is a global `jax.Array` sharded over ``axis`` whose per-device
+    shards live where the local data already is — no cross-host data motion.
+    """
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)
+        ),
+        batch,
+    )
+
+
+def replicate_global(tree: Any, mesh: Mesh) -> Any:
+    """Replicate host-identical values (params, opt state) across the global
+    mesh.  All processes must pass the same values."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)
+        ),
+        tree,
+    )

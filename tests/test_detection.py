@@ -3,6 +3,7 @@ full threshold/NMS/border/top-K extraction vs reference `get_points`
 semantics (`/root/reference/python/src/netutils.py:78-100`, `nms.py:4-53`).
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -137,3 +138,38 @@ def test_decode_prob_map_places_cell_probability():
     prob = D.decode_prob_map(logits, 8)
     assert prob.shape == (1, 16, 16)
     assert np.asarray(prob)[0, 1, 1] > 0.99  # class 9 = (dy=1, dx=1)
+
+
+def test_grid_nms_convergence_mode_dense(rng):
+    """Default nms_iters=0 (run to convergence) equals greedy on
+    adversarially dense maps — every pixel a candidate."""
+    for trial in range(3):
+        scores = (
+            rng.random((H, W)).astype(np.float32) * 0.9 + 0.05
+        )  # 100% density
+        want = _greedy_nms_oracle(scores, 4)
+        got = np.asarray(D.grid_nms(jnp.asarray(scores[None]), 4))[0]
+        np.testing.assert_array_equal(got, want)
+
+
+def test_grid_nms_convergence_mode_monotone_ramp():
+    """A monotone ramp needs ~W/(2d+1) suppression rounds — far deeper than
+    any fixed small round count; convergence mode must still match greedy."""
+    # strictly monotone, all-unique values (tie behavior differs from greedy
+    # by design: greedy keeps the first in scan order, max-pool keeps both)
+    ramp = (
+        np.arange(H * W, dtype=np.float32).reshape(H, W) / (H * W) * 0.9 + 0.05
+    )
+    want = _greedy_nms_oracle(ramp, 4)
+    got = np.asarray(D.grid_nms(jnp.asarray(ramp[None]), 4))[0]
+    np.testing.assert_array_equal(got, want)
+    # sanity: the old shipped depth (4 rounds) is NOT enough here
+    shallow = np.asarray(D.grid_nms(jnp.asarray(ramp[None]), 4, num_iters=4))[0]
+    assert (shallow > 0).sum() < (want > 0).sum()
+
+
+def test_grid_nms_convergence_under_jit(rng):
+    scores = _random_scores(rng, 0.2)
+    f = jax.jit(lambda s: D.grid_nms(s, 4))
+    got = np.asarray(f(jnp.asarray(scores[None])))[0]
+    np.testing.assert_array_equal(got, _greedy_nms_oracle(scores, 4))
