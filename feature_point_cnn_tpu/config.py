@@ -41,6 +41,10 @@ class SuperPointConfig:
                                       # (exact only up to that chain depth)
     use_pallas_decode: str = "auto"   # fused Pallas decode kernel in serving:
                                       # "auto" (on TPU), "on", "off"
+    use_pallas_desc_loss: str = "auto"  # blockwise Pallas hinge descriptor
+                                      # loss (custom VJP, no (B,N,N) in HBM;
+                                      # ops/pallas/descriptor_loss.py):
+                                      # "auto" (on TPU), "on", "off"
 
     # --- model topology (superpoint.py:12-61) ---
     image_channels: int = 3

@@ -129,7 +129,41 @@ def descriptor_loss(
 
     d = _l2_normalize(desc.reshape(b, n, dd).astype(jnp.float32), axis=-1)
     wd = _l2_normalize(warped_desc.reshape(b, n, dd).astype(jnp.float32), axis=-1)
-    # dot[b, i, j]: descriptor at cell i (original) vs cell j (warped) — MXU GEMM
+
+    # correspondence geometry: cell-center i warped into the warped frame
+    # lands within (cell - 0.5) px of cell-center j (losses.py:242-264)
+    ys, xs = jnp.meshgrid(jnp.arange(hc), jnp.arange(wc), indexing="ij")
+    centers = (
+        jnp.stack([ys, xs], axis=-1).reshape(n, 2).astype(jnp.float32) * cell
+        + cell // 2
+    )
+    warped_centers = warp_points(centers, homographies)        # (B, N, 2)
+
+    if valid_mask is None:
+        mask = jnp.ones((b, n), jnp.float32)
+    else:
+        mask = valid_mask.reshape(b, n).astype(jnp.float32)
+    normalization = jnp.maximum(jnp.sum(mask) * float(n), 1.0)
+
+    use_pallas = config.use_pallas_desc_loss
+    if use_pallas == "on" or (
+        use_pallas == "auto" and jax.default_backend() == "tpu"
+    ):
+        # blockwise Pallas kernel: never materializes the (B, N, N) tensors
+        # (custom VJP; see ops/pallas/descriptor_loss.py)
+        from feature_point_cnn_tpu.ops.pallas.descriptor_loss import (
+            hinge_descriptor_loss_pallas,
+        )
+
+        raw = hinge_descriptor_loss_pallas(
+            d, wd, warped_centers, centers, mask,
+            config.lambda_d, config.positive_margin, config.negative_margin,
+            cell,
+        )
+        return raw / normalization
+
+    # XLA reference path (and the oracle the kernel is tested against):
+    # dot[b, i, j]: descriptor at cell i (original) vs cell j (warped) — GEMM
     dot = jnp.einsum("bid,bjd->bij", d, wd, preferred_element_type=jnp.float32)
     dot = jax.nn.relu(dot)
     # reference double-normalization (losses.py:226-231): over warped cells,
@@ -140,26 +174,12 @@ def descriptor_loss(
     positive = jnp.maximum(0.0, config.positive_margin - dot)
     negative = jnp.maximum(0.0, dot - config.negative_margin)
 
-    # correspondence mask s[b, i, j]: cell-center i warped into the warped
-    # frame lands within (cell - 0.5) px of cell-center j (losses.py:242-264)
-    ys, xs = jnp.meshgrid(jnp.arange(hc), jnp.arange(wc), indexing="ij")
-    centers = (
-        jnp.stack([ys, xs], axis=-1).reshape(n, 2).astype(jnp.float32) * cell
-        + cell // 2
-    )
-    warped_centers = warp_points(centers, homographies)        # (B, N, 2)
     diff = warped_centers[:, :, None, :] - centers[None, None, :, :]
     cell_dist = jnp.linalg.norm(diff, axis=-1)                 # (B, N, N)
     s = (cell_dist < (cell - 0.5)).astype(jnp.float32)
 
     loss = config.lambda_d * s * positive + (1.0 - s) * negative
-
-    if valid_mask is None:
-        mask = jnp.ones((b, n), jnp.float32)
-    else:
-        mask = valid_mask.reshape(b, n).astype(jnp.float32)
-    normalization = jnp.sum(mask) * float(n)
-    return jnp.sum(loss * mask[:, None, :]) / jnp.maximum(normalization, 1.0)
+    return jnp.sum(loss * mask[:, None, :]) / normalization
 
 
 def descriptor_mse_loss(

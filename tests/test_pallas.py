@@ -26,6 +26,58 @@ def test_pallas_decode_extreme_logits():
     assert out[0, 0, 3] > 0.99
 
 
+def _desc_loss_case(rng, b, hc, wc, dd, cfg):
+    from feature_point_cnn_tpu.train.loss import descriptor_loss
+
+    desc = jnp.asarray(rng.standard_normal((b, hc, wc, dd)), jnp.float32)
+    wdesc = jnp.asarray(rng.standard_normal((b, hc, wc, dd)), jnp.float32)
+    homog = jnp.tile(
+        jnp.asarray([1.02, 0.01, 3.0, -0.02, 0.98, -2.0, 1e-4, -1e-4]), (b, 1)
+    ).astype(jnp.float32)
+    mask = jnp.asarray((rng.random((b, hc, wc)) > 0.15), jnp.float32)
+
+    def f(cfgv):
+        return lambda d, wd: descriptor_loss(d, wd, homog, mask, cfgv)
+
+    on = cfg.replace(use_pallas_desc_loss="on")
+    off = cfg.replace(use_pallas_desc_loss="off")
+    v_on, (gd_on, gw_on) = jax.value_and_grad(f(on), argnums=(0, 1))(desc, wdesc)
+    v_off, (gd_off, gw_off) = jax.value_and_grad(f(off), argnums=(0, 1))(desc, wdesc)
+    return (v_on, gd_on, gw_on), (v_off, gd_off, gw_off)
+
+
+def test_pallas_descriptor_loss_matches_xla(rng):
+    """Blockwise custom-VJP kernel == XLA (B,N,N) path, value AND grads,
+    at N both below and at the 128 tile size (padding paths exercised)."""
+    cfg = SuperPointConfig()
+    for (b, hc, wc, dd) in [(2, 6, 8, 32), (1, 8, 16, 16), (2, 10, 14, 8)]:
+        on, off = _desc_loss_case(rng, b, hc, wc, dd, cfg)
+        np.testing.assert_allclose(
+            float(on[0]), float(off[0]), rtol=2e-5, err_msg=f"{(b,hc,wc,dd)}"
+        )
+        for g_on, g_off in zip(on[1:], off[1:]):
+            np.testing.assert_allclose(
+                np.asarray(g_on), np.asarray(g_off), atol=2e-6, rtol=2e-4,
+                err_msg=f"{(b,hc,wc,dd)}",
+            )
+
+
+def test_pallas_descriptor_loss_zero_descriptor_finite(rng):
+    """All-zero descriptors (the relu'd-row=0 NaN hazard the smooth
+    normalization exists for) stay finite in value and grad."""
+    from feature_point_cnn_tpu.train.loss import descriptor_loss
+
+    cfg = SuperPointConfig(use_pallas_desc_loss="on")
+    b, hc, wc, dd = 1, 4, 4, 8
+    desc = jnp.zeros((b, hc, wc, dd), jnp.float32)
+    homog = jnp.asarray([[1.0, 0, 0, 0, 1, 0, 0, 0]], jnp.float32)
+    v, g = jax.value_and_grad(
+        lambda d: descriptor_loss(d, d, homog, None, cfg)
+    )(desc)
+    assert np.isfinite(float(v))
+    assert np.isfinite(np.asarray(g)).all()
+
+
 def test_extract_fn_pallas_path_matches_xla_path(rng):
     """Full serving program equality between decode paths."""
     from feature_point_cnn_tpu.inference.wrapper import extract_fn
