@@ -230,7 +230,7 @@ def bundle_adjust(
             mesh=mesh,
             in_specs=(P(), spec_l, spec_l, spec_l, spec_l),
             out_specs=(P(), spec_l, P()),
-            check_rep=False,
+            check_vma=False,
         )
 
     @jax.jit
