@@ -7,12 +7,16 @@
 // descriptors linearly on the CPU, main.cc:9-29), so the host only feeds
 // frames and reads fixed-K results.
 //
-// Frame sources: synthetic drifting checkerboard (default; no hardware
-// needed) or a raw float32 HWC file per frame ("--input file.raw").
+// Frame sources (camera.{h,cc}, reference parity: cpp/src/camera.cc:4-23):
+//   --source synthetic      drifting checkerboard (default; no hardware)
+//   --source /dev/videoN    live V4L2 capture (also bare "N" like the
+//                           reference CLI's camera index)
+//   --source frames.raw     replay of concatenated raw float32 HWC frames
+//   --input frame.raw       one static raw frame repeated every iteration
 //
 // Usage:
 //   superpoint_serve --model DIR [--plugin /opt/axon/libaxon_pjrt.so]
-//                    [--frames 100] [--input frame.raw]
+//                    [--frames 100] [--source SPEC] [--input frame.raw]
 
 #include <chrono>
 #include <cmath>
@@ -23,6 +27,7 @@
 #include <string>
 #include <vector>
 
+#include "camera.h"
 #include "pjrt_runtime.h"
 
 namespace {
@@ -103,20 +108,6 @@ std::vector<Spec> parse_specs(const std::string& s, const std::string& section) 
   return specs;
 }
 
-// --- synthetic frame source (drifting checkerboard) --------------------------
-
-void fill_checkerboard(float* data, int h, int w, int c, double t) {
-  const double dx = 40.0 * std::sin(t), dy = 25.0 * std::cos(0.7 * t);
-  for (int y = 0; y < h; ++y) {
-    for (int x = 0; x < w; ++x) {
-      int board = (static_cast<int>((x + dx) / 40.0 + 1000.0) +
-                   static_cast<int>((y + dy) / 40.0 + 1000.0)) % 2;
-      float v = 0.25f + 0.55f * static_cast<float>(board);
-      for (int ch = 0; ch < c; ++ch) data[(y * w + x) * c + ch] = v;
-    }
-  }
-}
-
 // Create options required by the axon relay plugin (mirrors the options its
 // Python registration passes; see /root/.axon_site/axon/register).  Topology
 // comes from PALLAS_AXON_TPU_GEN; session_id is fresh per process.
@@ -153,6 +144,7 @@ int main(int argc, char** argv) {
   std::string model_dir;
   std::string plugin = "/opt/axon/libaxon_pjrt.so";
   std::string input_file;
+  std::string source = "synthetic";
   int frames = 20;
   for (int i = 1; i < argc; ++i) {
     std::string a = argv[i];
@@ -164,10 +156,13 @@ int main(int argc, char** argv) {
     else if (a == "--plugin") plugin = next();
     else if (a == "--frames") frames = std::atoi(next().c_str());
     else if (a == "--input") input_file = next();
+    else if (a == "--source") source = next();
     else {
       std::fprintf(stderr,
                    "usage: %s --model DIR [--plugin SO] [--frames N] "
-                   "[--input frame.raw]\n", argv[0]);
+                   "[--input frame.raw] "
+                   "[--source synthetic|N|/dev/videoN|frames.raw]\n",
+                   argv[0]);
       return 2;
     }
   }
@@ -209,6 +204,7 @@ int main(int argc, char** argv) {
     fpc::HostArray key_desc = fpc::make_array(in_specs[1].shape, in_specs[1].type);
     fpc::HostArray key_valid = fpc::make_array(in_specs[2].shape, in_specs[2].type);
 
+    std::unique_ptr<fpc::FrameSource> frame_source;
     if (!input_file.empty()) {
       std::string raw = fpc::read_file(input_file);
       if (raw.size() != image.data.size()) {
@@ -216,18 +212,22 @@ int main(int argc, char** argv) {
                                  std::to_string(image.data.size()) + " bytes");
       }
       std::memcpy(image.data.data(), raw.data(), raw.size());
+    } else {
+      frame_source = fpc::OpenSource(source);
     }
 
     double total_s = 0.0;
     long total_matches = 0;
+    int done = 0;
     // device-resident keyframe state (fed back without host round trips)
     fpc::DeviceBuffer key_desc_dev = rt.Upload(key_desc);
     fpc::DeviceBuffer key_valid_dev = rt.Upload(key_valid);
     for (int f = 0; f < frames; ++f) {
-      if (input_file.empty()) {
-        fill_checkerboard(image.f32(), static_cast<int>(h),
-                          static_cast<int>(w), static_cast<int>(c),
-                          0.15 * static_cast<double>(f));
+      if (frame_source &&
+          !frame_source->GetFrame(image.f32(), static_cast<int>(h),
+                                  static_cast<int>(w), static_cast<int>(c))) {
+        std::printf("[serve] frame source exhausted after %d frames\n", f);
+        break;
       }
       auto s0 = std::chrono::steady_clock::now();
       fpc::DeviceBuffer image_dev = rt.Upload(image);
@@ -258,11 +258,12 @@ int main(int argc, char** argv) {
                     f, n_kp, n_match,
                     1e3 * std::chrono::duration<double>(s1 - s0).count());
       }
+      done = f + 1;
     }
-    if (frames > 1) {
+    if (done > 1) {
       std::printf("[serve] steady-state: %.1f FPS, mean matches %.1f\n",
-                  (frames - 1) / total_s,
-                  static_cast<double>(total_matches) / (frames - 1));
+                  (done - 1) / total_s,
+                  static_cast<double>(total_matches) / (done - 1));
     }
   } catch (const std::exception& e) {
     std::fprintf(stderr, "[serve] FATAL: %s\n", e.what());
