@@ -27,6 +27,7 @@ import numpy as np
 from feature_point_cnn_tpu.geometry import homography as G
 from feature_point_cnn_tpu.ops.detection import Keypoints
 from feature_point_cnn_tpu.ops.matching import mnn_match
+from feature_point_cnn_tpu.slam.twoview import ransac_homography
 
 import jax.numpy as jnp
 
@@ -127,28 +128,53 @@ def matching_metrics(
     denom = min(int(shared1.sum()), int(np.asarray(kp2.valid[index]).sum()))
     matching_score = float(correct.sum() / denom) if denom else 0.0
 
-    # homography estimation from matches (cv2 expects (x, y))
+    # homography estimation from matches.  The MEASURED path is the
+    # framework's own on-device RANSAC (`slam/twoview.py:85`) — the same
+    # estimator serving/tracking uses; cv2.findHomography stays as an
+    # independent host oracle, reported alongside for cross-checking.
+    hh, ww = shape
+    corners_yx = np.array(
+        [[0, 0], [0, ww - 1], [hh - 1, ww - 1], [hh - 1, 0]], np.float32
+    )
+    true = np.asarray(G.warp_points(jnp.asarray(corners_yx), h))
+
+    def corner_error(est_h_flat) -> float:
+        proj = np.asarray(
+            G.warp_points(jnp.asarray(corners_yx), jnp.asarray(est_h_flat))
+        )
+        return float(np.linalg.norm(proj - true, axis=-1).mean())
+
     h_correct = False
     h_err = float("nan")
+    h_err_cv2 = float("nan")
     if mv.sum() >= 4:
-        src_xy = p1[mv][:, ::-1].astype(np.float64)
-        dst_xy = match_dst[:, ::-1].astype(np.float64)
-        est, _ = cv2.findHomography(src_xy, dst_xy, cv2.RANSAC, 3.0)
-        if est is not None:
-            hh, ww = shape
-            corners = np.array(
-                [[0, 0], [ww - 1, 0], [ww - 1, hh - 1], [0, hh - 1]], np.float64
-            )
-            ones = np.ones((4, 1))
-            proj = np.concatenate([corners, ones], -1) @ est.T
-            proj = proj[:, :2] / proj[:, 2:]
-            # ground truth: warp corners (y,x) via warp_points
-            c_yx = corners[:, ::-1]
-            true = np.asarray(
-                G.warp_points(jnp.asarray(c_yx, jnp.float32), h)
-            )[:, ::-1]
-            h_err = float(np.linalg.norm(proj - true, axis=-1).mean())
-            h_correct = h_err <= eps
+        # ransac_homography returns H with pts1 ≈ H·pts2, so passing
+        # (matched view-2 points, view-1 points) estimates view1 -> view2 —
+        # the direction of the ground-truth h_flat
+        import jax as _jax
+
+        dst_all = p2[mi]                         # (K, 2) matched targets
+        est = ransac_homography(
+            _jax.random.PRNGKey(0),
+            jnp.asarray(dst_all, jnp.float32),
+            jnp.asarray(p1, jnp.float32),
+            jnp.asarray(mv),
+            inlier_thresh=float(eps),
+        )
+        h_err = corner_error(np.asarray(est.h_flat))
+        h_correct = h_err <= eps
+
+        # host oracle (cv2 expects (x, y) and a 3x3 matrix)
+        est_cv, _ = cv2.findHomography(
+            p1[mv][:, ::-1].astype(np.float64),
+            match_dst[:, ::-1].astype(np.float64),
+            cv2.RANSAC, 3.0,
+        )
+        if est_cv is not None:
+            c_xy = corners_yx[:, ::-1].astype(np.float64)
+            proj = np.concatenate([c_xy, np.ones((4, 1))], -1) @ est_cv.T
+            proj = (proj[:, :2] / proj[:, 2:])[:, ::-1]   # back to (y, x)
+            h_err_cv2 = float(np.linalg.norm(proj - true, axis=-1).mean())
     return {
         "matching_score": matching_score,
         "num_matches": int(mv.sum()),
@@ -156,4 +182,5 @@ def matching_metrics(
         "match_precision": float(correct.mean()) if mv.sum() else 0.0,
         "homography_correct": float(h_correct),
         "homography_error": h_err,
+        "homography_error_cv2": h_err_cv2,
     }
