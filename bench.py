@@ -52,13 +52,45 @@ def main() -> None:
     out = frame_jit(variables, image, key_desc, key_valid)
     jax.block_until_ready(out)
 
-    iters = 100
+    import os
+
+    iters = int(os.environ.get("FPC_BENCH_ITERS", "100"))
     t0 = time.perf_counter()
     for i in range(iters):
         out = frame_jit(variables, image, key_desc, key_valid)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     fps = iters / dt
+
+    # Device-time FPS: chain CHAIN frames inside ONE jitted program via
+    # lax.scan, so the host<->device round trip (which dominates b1 dispatch
+    # latency through the axon relay — it varies >3x run-to-run) is amortized
+    # to noise and the number reflects what the chip itself sustains.  The
+    # scalar carry feeds the next frame's input so XLA cannot hoist the
+    # loop-invariant body out of the scan.
+    chain = int(os.environ.get("FPC_BENCH_CHAIN", "50"))
+
+    def chained_fn(variables, image, key_desc, key_valid):
+        def body(carry, _):
+            kp, desc, m = frame_fn(
+                variables, image + carry, key_desc, key_valid
+            )
+            nxt = (m.num.astype(jnp.float32) % 2.0) * 1e-12
+            return nxt, ()
+
+        carry, _ = jax.lax.scan(
+            body, jnp.float32(0.0), None, length=chain
+        )
+        return carry
+
+    chained_jit = jax.jit(chained_fn)
+    jax.block_until_ready(chained_jit(variables, image, key_desc, key_valid))
+    reps = int(os.environ.get("FPC_BENCH_REPS", "5"))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = chained_jit(variables, image, key_desc, key_valid)
+    jax.block_until_ready(out)
+    device_fps = reps * chain / (time.perf_counter() - t0)
 
     device = jax.devices()[0]
     print(
@@ -68,6 +100,7 @@ def main() -> None:
                 "value": round(fps, 2),
                 "unit": "frames/s/chip",
                 "vs_baseline": round(fps / 30.0, 2),
+                "device_fps": round(device_fps, 2),
             }
         )
     )

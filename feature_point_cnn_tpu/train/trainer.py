@@ -198,13 +198,24 @@ class Trainer:
         return jax.random.fold_in(jax.random.fold_in(self.base_key, tag), index)
 
     def train_epoch(self, epoch: int) -> Dict[str, float]:
+        import os
+
+        from feature_point_cnn_tpu.utils import profiling
+
         logged = []
         t0 = time.time()
+        # FPC_PROFILE_DIR=<dir> captures a device trace of steps 5-15 of the
+        # first epoch (post-compile), viewable in TensorBoard / Perfetto.
+        trace_window = profiling.StepTraceWindow(
+            os.environ.get("FPC_PROFILE_DIR", "") if epoch == 0 else ""
+        )
         for i, batch in enumerate(self.train_loader.epoch(epoch)):
+            trace_window.tick(i)
             batch = shard_batch(batch, self.mesh)
-            self.state, metrics = self._train_step(
-                self.state, batch, self._key(epoch, i)
-            )
+            with profiling.annotate(f"{self.phase}_train_step"):
+                self.state, metrics = self._train_step(
+                    self.state, batch, self._key(epoch, i)
+                )
             # fetch metrics (a device sync) only at logging points
             if (i + 1) % self.log_every == 0 or i == 0:
                 m = {k: float(v) for k, v in metrics.items()}
@@ -228,6 +239,7 @@ class Trainer:
                     f"{len(self.train_loader)} loss {m['loss']:.4f} "
                     f"({rate:.1f} img/s)"
                 )
+        trace_window.close()
         if not logged:
             return {}
         return {

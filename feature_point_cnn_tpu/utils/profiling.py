@@ -32,6 +32,36 @@ def annotate(name: str):
     return jax.profiler.TraceAnnotation(name)
 
 
+class StepTraceWindow:
+    """Trace a window of training steps (post-compile) into ``log_dir``.
+
+    ``tick(i)`` starts the capture at step ``start`` and stops it at step
+    ``stop``; ``close()`` stops it early if the loop ends inside the window.
+    Used by ``train.trainer`` when ``FPC_PROFILE_DIR`` is set.
+    """
+
+    def __init__(self, log_dir: str, start: int = 5, stop: int = 15):
+        self.log_dir = log_dir
+        self.start = start
+        self.stop = stop
+        self._active = False
+
+    def tick(self, i: int) -> None:
+        if not self.log_dir:
+            return
+        if i == self.start and not self._active:
+            jax.profiler.start_trace(self.log_dir)
+            self._active = True
+        elif i == self.stop and self._active:
+            self.close()
+
+    def close(self) -> None:
+        if self._active:
+            jax.profiler.stop_trace()
+            self._active = False
+            print(f"[profiling] step trace written to {self.log_dir}")
+
+
 class Throughput:
     """Steady-state items/sec meter (skips the first, compile-bearing call)."""
 
