@@ -45,6 +45,13 @@ class SuperPointConfig:
                                       # loss (custom VJP, no (B,N,N) in HBM;
                                       # ops/pallas/descriptor_loss.py):
                                       # "auto" (on TPU), "on", "off"
+    use_pallas_nms: str = "off"       # whole-map-in-VMEM exact-greedy NMS
+                                      # kernel (ops/pallas/nms.py): "auto"
+                                      # (on TPU), "on", "off".  Off by
+                                      # default: at serving sizes the XLA
+                                      # while-loop path is already ~30 us,
+                                      # so this is a same-result alternative,
+                                      # not a default win (RESULTS.md)
 
     # --- model topology (superpoint.py:12-61) ---
     image_channels: int = 3

@@ -147,7 +147,15 @@ def extract_keypoints_from_scores(
     """NMS + border strip + top-K on an already-thresholded score map (e.g.
     from the fused Pallas decode kernel, `ops/pallas/decode.py`)."""
     b, h, w = scores.shape
-    scores = grid_nms(scores, config.nms_dist, config.nms_iters)
+    use_pallas = config.use_pallas_nms
+    if use_pallas == "on" or (
+        use_pallas == "auto" and jax.default_backend() == "tpu"
+    ):
+        from feature_point_cnn_tpu.ops.pallas.nms import grid_nms_pallas
+
+        scores = grid_nms_pallas(scores, config.nms_dist)
+    else:
+        scores = grid_nms(scores, config.nms_dist, config.nms_iters)
 
     br = config.border_remove
     ys = jnp.arange(h)

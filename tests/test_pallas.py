@@ -96,3 +96,54 @@ def test_extract_fn_pallas_path_matches_xla_path(rng):
     np.testing.assert_allclose(np.asarray(kp_on.score), np.asarray(kp_off.score), atol=1e-6)
     np.testing.assert_array_equal(np.asarray(kp_on.y), np.asarray(kp_off.y))
     np.testing.assert_allclose(np.asarray(d_on), np.asarray(d_off), atol=1e-5)
+
+
+def test_pallas_nms_matches_greedy_and_xla(rng):
+    """Whole-map-in-VMEM NMS kernel == numpy greedy oracle == XLA
+    convergence-loop path, on random maps of increasing density and the
+    adversarial monotone ramp (deep suppression chain)."""
+    from tests.test_detection import _greedy_nms_oracle, _random_scores
+
+    from feature_point_cnn_tpu.ops.detection import grid_nms
+    from feature_point_cnn_tpu.ops.pallas.nms import grid_nms_pallas
+
+    maps = [_random_scores(rng, density=0.03 + 0.05 * t) for t in range(4)]
+    ramp = np.zeros((48, 64), np.float32)
+    ramp[24, :] = np.linspace(0.1, 0.9, 64)  # monotone chain along a row
+    maps.append(ramp)
+    for scores in maps:
+        want = _greedy_nms_oracle(scores, 4)
+        got = np.asarray(
+            grid_nms_pallas(jnp.asarray(scores[None]), 4, interpret=True)
+        )[0]
+        np.testing.assert_array_equal(got, want)
+        xla = np.asarray(grid_nms(jnp.asarray(scores[None]), 4, num_iters=0))[0]
+        np.testing.assert_array_equal(got, xla)
+
+
+def test_pallas_nms_batched_and_config_gate(rng):
+    """Batch grid dimension works, and the extract_keypoints config gate
+    produces identical keypoints through either NMS implementation."""
+    from tests.test_detection import _random_scores
+
+    from feature_point_cnn_tpu.ops.detection import extract_keypoints_from_scores
+    from feature_point_cnn_tpu.ops.pallas.nms import grid_nms_pallas
+    from feature_point_cnn_tpu.ops.detection import grid_nms
+
+    scores = np.stack([_random_scores(rng, 0.05) for _ in range(3)])
+    got = np.asarray(grid_nms_pallas(jnp.asarray(scores), 4, interpret=True))
+    want = np.asarray(grid_nms(jnp.asarray(scores), 4))
+    np.testing.assert_array_equal(got, want)
+
+    cfg = SuperPointConfig(max_keypoints=64)
+    kp_on = extract_keypoints_from_scores(
+        jnp.asarray(scores), cfg.replace(use_pallas_nms="on")
+    )
+    kp_off = extract_keypoints_from_scores(
+        jnp.asarray(scores), cfg.replace(use_pallas_nms="off")
+    )
+    np.testing.assert_array_equal(np.asarray(kp_on.y), np.asarray(kp_off.y))
+    np.testing.assert_array_equal(np.asarray(kp_on.x), np.asarray(kp_off.x))
+    np.testing.assert_array_equal(
+        np.asarray(kp_on.valid), np.asarray(kp_off.valid)
+    )
