@@ -48,10 +48,13 @@ class SuperPointConfig:
     use_pallas_nms: str = "off"       # whole-map-in-VMEM exact-greedy NMS
                                       # kernel (ops/pallas/nms.py): "auto"
                                       # (on TPU), "on", "off".  Off by
-                                      # default: at serving sizes the XLA
-                                      # while-loop path is already ~30 us,
-                                      # so this is a same-result alternative,
-                                      # not a default win (RESULTS.md)
+                                      # default: measured on-chip A/B at
+                                      # 480x640 2%-density maps is 1.14 ms
+                                      # (pallas) vs 1.24 ms (XLA) — within
+                                      # noise at real serving densities, and
+                                      # the XLA path keeps the exported
+                                      # StableHLO free of an extra custom
+                                      # call (RESULTS.md round 2)
 
     # --- model topology (superpoint.py:12-61) ---
     image_channels: int = 3

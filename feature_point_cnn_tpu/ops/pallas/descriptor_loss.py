@@ -50,17 +50,21 @@ def _dot_nt(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def _tile_stats(d, wd, t):
-    """Row tile t: relu'd dots A (TI, Np), row stat Rr (TI, 1), u = A*Rr."""
-    dt = jax.lax.dynamic_slice_in_dim(d, t * _TILE, _TILE, 0)
+def _tile_stats(d_ref, wd, t):
+    """Row tile t: relu'd dots A (TI, Np), row stat Rr (TI, 1), u = A*Rr.
+
+    Tiles are loaded straight from the VMEM ref with `pl.ds` — Mosaic has no
+    lowering for value-level ``dynamic_slice`` of an already-loaded array.
+    """
+    dt = d_ref[0, pl.ds(t * _TILE, _TILE), :]
     a = jnp.maximum(_dot_nt(dt, wd), 0.0)
     rr = jax.lax.rsqrt(jnp.sum(a * a, axis=1, keepdims=True) + _EPS)
     return dt, a, a * rr
 
 
-def _tile_s(wc, ct, t, cell: float):
+def _tile_s(wc_ref, ct, t, cell: float):
     """Correspondence mask tile (TI, Np) from warped/plain cell centers."""
-    wt = jax.lax.dynamic_slice_in_dim(wc, t * _TILE, _TILE, 0)
+    wt = wc_ref[0, pl.ds(t * _TILE, _TILE), :]
     wy = wt[:, 0:1]
     wx = wt[:, 1:2]
     cy = ct[0:1, :]
@@ -73,14 +77,12 @@ def _fwd_kernel(
     d_ref, wd_ref, wc_ref, ct_ref, mj_ref, loss_ref, c_ref,
     *, n_tiles: int, lambda_d: float, mp: float, mn: float, cell: float,
 ):
-    d = d_ref[0]
     wd = wd_ref[0]
-    wc = wc_ref[0]
     ct = ct_ref[:]
     mj = mj_ref[0]                                     # (1, Np)
 
     def acc_c(t, c_acc):
-        _, _, u = _tile_stats(d, wd, t)
+        _, _, u = _tile_stats(d_ref, wd, t)
         return c_acc + jnp.sum(u * u, axis=0, keepdims=True)
 
     c = jax.lax.fori_loop(
@@ -90,34 +92,37 @@ def _fwd_kernel(
     rc = jax.lax.rsqrt(c + _EPS)                       # (1, Np)
 
     def acc_loss(t, loss_acc):
-        _, _, u = _tile_stats(d, wd, t)
+        _, _, u = _tile_stats(d_ref, wd, t)
         v = u * rc
-        s = _tile_s(wc, ct, t, cell)
+        s = _tile_s(wc_ref, ct, t, cell)
         hinge = lambda_d * s * jnp.maximum(0.0, mp - v) + (
             1.0 - s
         ) * jnp.maximum(0.0, v - mn)
         return loss_acc + jnp.sum(hinge * mj)
 
-    loss_ref[0, 0] = jax.lax.fori_loop(0, n_tiles, acc_loss, 0.0)
+    # the (B, 1) SMEM loss buffer is one full-array block shared by every
+    # grid step (Mosaic rejects (1, 1) sub-blocks of a (B, 1) array); each
+    # step writes its own batch element
+    loss_ref[pl.program_id(0), 0] = jax.lax.fori_loop(
+        0, n_tiles, acc_loss, 0.0
+    )
 
 
 def _bwd_kernel(
     d_ref, wd_ref, wc_ref, ct_ref, mj_ref, c_ref, g_ref, dd_ref, dwd_ref,
     *, n_tiles: int, lambda_d: float, mp: float, mn: float, cell: float,
 ):
-    d = d_ref[0]
     wd = wd_ref[0]
-    wc = wc_ref[0]
     ct = ct_ref[:]
     mj = mj_ref[0]
     rc = jax.lax.rsqrt(c_ref[0] + _EPS)                # (1, Np)
-    gscale = g_ref[0, 0]
+    gscale = g_ref[pl.program_id(0), 0]
 
     def tile_g(t):
         """Recompute tile intermediates + dL/dv cotangent G."""
-        dt, a, u = _tile_stats(d, wd, t)
+        dt, a, u = _tile_stats(d_ref, wd, t)
         v = u * rc
-        s = _tile_s(wc, ct, t, cell)
+        s = _tile_s(wc_ref, ct, t, cell)
         g = gscale * mj * (
             -lambda_d * s * (mp - v > 0.0).astype(jnp.float32)
             + (1.0 - s) * (v - mn > 0.0).astype(jnp.float32)
@@ -134,7 +139,7 @@ def _bwd_kernel(
     ) * (rc * rc * rc)
 
     # pass 2: per-tile row cotangent + both descriptor gradients
-    dwd_ref[0] = jnp.zeros(d.shape, jnp.float32)
+    dwd_ref[0] = jnp.zeros(wd.shape, jnp.float32)
 
     def body(t, _):
         dt, a, u, _, g = tile_g(t)
@@ -192,7 +197,7 @@ def _call_fwd(d, wd, wc, ct, mj, params):
             pl.BlockSpec((1, 1, np_), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, np_), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -221,7 +226,7 @@ def _call_bwd(d, wd, wc, ct, mj, c, g_b, params):
             pl.BlockSpec((2, np_), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, np_), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, np_), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, np_, dd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),

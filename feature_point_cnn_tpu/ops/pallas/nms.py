@@ -91,5 +91,11 @@ def grid_nms_pallas(
             (1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+        # the convergence loop keeps ~14 map-sized temporaries live (keep
+        # mask, pad buffers, two max-pool passes); at 480x640 that is ~18 MB,
+        # above the default 16 MB scoped-VMEM cap — raise it
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
         interpret=interpret,
     )(scores)
