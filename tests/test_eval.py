@@ -81,3 +81,47 @@ def test_evaluate_pairs_end_to_end():
     assert out["pairs"] == 2.0
     assert 0.0 <= out["repeatability"] <= 1.0
     assert "homography_error" in out
+
+
+def test_tracking_eval_ideal_provider_recovers_trajectory():
+    """eval.tracking's ground-truth convention: an ideal feature provider
+    (world points projected through the exact render transforms) must track
+    with ~zero ATE, proving the (x,y)<->(y,x) and inverse-warp bookkeeping."""
+    import numpy as np
+
+    from feature_point_cnn_tpu.slam.tracking import FrameFeatures
+    from feature_point_cnn_tpu.eval import tracking as T
+
+    h, w, k = 120, 160, 64
+    rng = np.random.default_rng(0)
+    base_xy = np.stack(
+        [rng.uniform(20, w - 20, k), rng.uniform(20, h - 20, k)], -1
+    )  # world points, (x, y)
+    desc = rng.standard_normal((k, 32)).astype(np.float32)
+    desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+
+    params = T.smooth_trajectory(12, max_shift=10.0)
+    frame_idx = {"i": 0}
+
+    def ideal_extract(_image):
+        th, s, tx, ty = params[frame_idx["i"]]
+        frame_idx["i"] += 1
+        # render maps frame pt -> base: b = s*R(th)*f + t  =>  f = R^-1((b-t)/s)
+        c, sn = np.cos(th), np.sin(th)
+        shifted = (base_xy - [tx, ty]) / s
+        fx = c * shifted[:, 0] + sn * shifted[:, 1]
+        fy = -sn * shifted[:, 0] + c * shifted[:, 1]
+        import jax.numpy as jnp
+
+        return FrameFeatures(
+            y=jnp.asarray(fy, jnp.float32),
+            x=jnp.asarray(fx, jnp.float32),
+            valid=jnp.ones(k, bool),
+            desc=jnp.asarray(desc),
+        )
+
+    base = np.zeros((h, w, 3), np.float32)
+    out = T.evaluate_tracking(ideal_extract, base, n_frames=12, max_shift=10.0)
+    assert out["frac_tracked"] == 1.0
+    assert out["ate_rmse_px"] < 0.2, out
+    assert out["mean_inliers"] > 50
