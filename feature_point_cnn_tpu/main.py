@@ -54,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--magic-point-weights", default="checkpoints_magicpoint")
     tr.add_argument("--limit", type=int, default=0,
                     help="cap items for self-labeling (debug)")
+    tr.add_argument("--photometric-augment", action="store_true",
+                    help="on-device photometric augmentation during "
+                         "training (noise/blur/contrast; data/photometric.py)")
 
     ex = sub.add_parser("export")
     ex.add_argument("--weights-path", required=True)
@@ -73,6 +76,7 @@ def config_from_args(opt) -> SuperPointConfig:
             batch_size=opt.batch_size,
             grad_accum_steps=opt.grad_accum_steps,
             epochs=opt.epochs,
+            photometric_augment=opt.photometric_augment,
         )
     return cfg
 
