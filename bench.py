@@ -92,6 +92,43 @@ def main() -> None:
     jax.block_until_ready(out)
     device_fps = reps * chain / (time.perf_counter() - t0)
 
+    # batched throughput: same chained program at batch 8 — the number that
+    # matters when serving many streams (or self-labeling) rather than one
+    # latency-bound camera
+    bsz = int(os.environ.get("FPC_BENCH_BATCH", "8"))
+    image_b = jnp.asarray(rng.random((bsz, h, w, 3)), jnp.float32)
+    kp0b, desc0b = jax.jit(extract)(variables, image_b)
+
+    def frame_fn_b(variables, images, key_desc, key_valid):
+        kp, desc = extract(variables, images)
+        m = jax.vmap(mnn_match, in_axes=(0, 0, None, None))(
+            desc, kp.valid, key_desc, key_valid
+        )
+        return kp, desc, m
+
+    def chained_b(variables, images, key_desc, key_valid):
+        def body(carry, _):
+            kp, desc, m = frame_fn_b(
+                variables, images + carry, key_desc, key_valid
+            )
+            nxt = (jnp.sum(m.num).astype(jnp.float32) % 2.0) * 1e-12
+            return nxt, ()
+
+        carry, _ = jax.lax.scan(
+            body, jnp.float32(0.0), None, length=chain
+        )
+        return carry
+
+    chained_b_jit = jax.jit(chained_b)
+    jax.block_until_ready(
+        chained_b_jit(variables, image_b, key_desc, key_valid)
+    )
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = chained_b_jit(variables, image_b, key_desc, key_valid)
+    jax.block_until_ready(out)
+    batched_fps = reps * chain * bsz / (time.perf_counter() - t0)
+
     device = jax.devices()[0]
     print(
         json.dumps(
@@ -101,6 +138,7 @@ def main() -> None:
                 "unit": "frames/s/chip",
                 "vs_baseline": round(fps / 30.0, 2),
                 "device_fps": round(device_fps, 2),
+                f"batched_b{bsz}_fps": round(batched_fps, 2),
             }
         )
     )
