@@ -1,0 +1,150 @@
+"""Device-resident dataset: upload once, gather batches on-chip.
+
+Round-2 measurement (RESULTS.md): with the packed memmap loader the
+MagicPoint step still ran at ~106 img/s because every step shipped a ~5 MB
+uint8 batch through the host<->device link, and this environment's relayed
+link sustains only ~12 MB/s (417 ms per batch-64 upload — the whole step
+budget).  The reference has the same structural pattern on GPU (DataLoader
+workers feeding per-step H2D copies, `/root/reference/python/src/
+basetrainer.py:96-172`); it survives it because PCIe is ~three orders of
+magnitude faster than a tunneled link.
+
+The TPU-native fix: the WHOLE packed split fits in HBM (27k synthetic
+240x320 uint8 images = 2.1 GB against 16 GB/chip), so upload the dataset
+ONCE and assemble every batch on device with an index gather inside a jitted
+program.  Per step the host then ships a (B,) int32 index vector and a PRNG
+key — a few hundred bytes.  Float conversion, grayscale repeat, label
+encoding, and augmentation already happen inside the train step
+(`train/steps.py:_prep_images`), so the gathered batch stays uint8 end to
+end.
+
+Sharding: arrays are placed replicated on the data mesh and the gather's
+output is batch-sharded, so the same loader drives 1 chip or a mesh (each
+device materializes only its batch shard; XLA partitions the gather).  At
+pod scale, where replicating the dataset would waste HBM, the intended
+layout is to shard the item axis across hosts instead — each host uploads
+only its `process_shard` slice (`parallel/distributed.py`) and samples
+locally, which is exactly how the host-side loader already shards files.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from feature_point_cnn_tpu.parallel.mesh import batch_sharding, replicated
+
+
+def dataset_nbytes(ds) -> int:
+    """Host-side size estimate of a packed dataset's arrays."""
+    return int(
+        ds.images.dtype.itemsize * np.prod(ds.images.shape)
+        + ds.points.dtype.itemsize * np.prod(ds.points.shape)
+        + ds.counts.dtype.itemsize * np.prod(ds.counts.shape)
+    )
+
+
+class DeviceBatchLoader:
+    """Drop-in replacement for ``datasets.BatchLoader`` backed by
+    device-resident arrays (``packed.PackedPointDataset`` source only).
+
+    Yields batches of **committed device arrays** — ``trainer.shard_batch``
+    sees the target sharding already in place and passes them through.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        max_points: int,
+        mesh: Optional[Mesh] = None,
+        seed: int = 0,
+        shuffle: bool = True,
+    ):
+        from feature_point_cnn_tpu.parallel.mesh import make_mesh
+
+        self.batch_size = batch_size
+        self.max_points = max_points
+        self.seed = seed
+        self.shuffle = shuffle
+        self.mesh = mesh if mesh is not None else make_mesh(batch_size=batch_size)
+
+        # materialize the dataset's (possibly size-capped, seed-permuted)
+        # item view once on host, then upload; epoch shuffles index into it
+        idx = np.sort(np.asarray(dataset.index))
+        stored = dataset.points.shape[1]
+        k = min(stored, max_points)
+        points = np.zeros((len(idx), max_points, 2), np.float32)
+        points[:, :k] = dataset.points[idx, :k]
+        counts = np.minimum(np.asarray(dataset.counts[idx]), max_points)
+
+        rep = replicated(self.mesh)
+        self.images = jax.device_put(np.asarray(dataset.images[idx]), rep)
+        self.points = jax.device_put(points, rep)
+        self.counts = jax.device_put(counts.astype(np.int32), rep)
+        jax.block_until_ready(self.images)
+
+        out_shard = batch_sharding(self.mesh)
+
+        def gather(images, points, counts, batch_idx):
+            img = jnp.take(images, batch_idx, axis=0)
+            pts = jnp.take(points, batch_idx, axis=0)
+            cnt = jnp.take(counts, batch_idx, axis=0)
+            valid = jnp.arange(max_points)[None, :] < cnt[:, None]
+            return {"image": img, "points": pts, "points_valid": valid}
+
+        self._gather = jax.jit(
+            gather,
+            out_shardings={
+                "image": out_shard, "points": out_shard, "points_valid": out_shard,
+            },
+        )
+
+    def __len__(self) -> int:
+        return self.images.shape[0] // self.batch_size
+
+    def epoch(self, epoch_index: int = 0) -> Iterator[Dict[str, jnp.ndarray]]:
+        order = np.arange(self.images.shape[0])
+        if self.shuffle:
+            np.random.default_rng(self.seed + epoch_index).shuffle(order)
+        for i in range(len(self)):
+            batch_idx = jnp.asarray(
+                order[i * self.batch_size : (i + 1) * self.batch_size],
+                jnp.int32,
+            )
+            yield self._gather(self.images, self.points, self.counts, batch_idx)
+
+
+# Auto-selection threshold: leave the bulk of HBM for activations/optimizer.
+MAX_RESIDENT_BYTES = 6 << 30
+
+
+def make_loader(
+    dataset,
+    batch_size: int,
+    max_points: int,
+    seed: int = 0,
+    shuffle: bool = True,
+    device_resident: str = "auto",
+):
+    """Pick the device-resident loader when the source is packed and fits;
+    fall back to the host prefetching loader otherwise."""
+    from feature_point_cnn_tpu.data.datasets import BatchLoader
+    from feature_point_cnn_tpu.data.packed import PackedPointDataset
+
+    want = device_resident == "on" or (
+        device_resident == "auto"
+        and isinstance(dataset, PackedPointDataset)
+        and dataset_nbytes(dataset) <= MAX_RESIDENT_BYTES
+    )
+    if want and isinstance(dataset, PackedPointDataset):
+        return DeviceBatchLoader(
+            dataset, batch_size, max_points, seed=seed, shuffle=shuffle
+        )
+    return BatchLoader(
+        dataset, batch_size, max_points, seed=seed, shuffle=shuffle
+    )

@@ -57,6 +57,12 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--photometric-augment", action="store_true",
                     help="on-device photometric augmentation during "
                          "training (noise/blur/contrast; data/photometric.py)")
+    tr.add_argument("--data-placement", default="auto",
+                    choices=("auto", "device", "host"),
+                    help="'device' keeps the whole packed dataset resident "
+                         "in HBM and gathers batches on-chip "
+                         "(data/device_store.py); 'auto' picks it whenever "
+                         "the packed split fits")
 
     ex = sub.add_parser("export")
     ex.add_argument("--weights-path", required=True)
@@ -81,18 +87,19 @@ def config_from_args(opt) -> SuperPointConfig:
     return cfg
 
 
-def _loaders(cfg, path, test_size: int = 0):
-    from feature_point_cnn_tpu.data.datasets import BatchLoader
+def _loaders(cfg, path, test_size: int = 0, device_resident: str = "auto"):
+    from feature_point_cnn_tpu.data.device_store import make_loader
     from feature_point_cnn_tpu.data.packed import open_dataset
 
-    train = BatchLoader(
-        open_dataset(path, "train"), cfg.batch_size, cfg.max_points
+    train = make_loader(
+        open_dataset(path, "train"), cfg.batch_size, cfg.max_points,
+        device_resident=device_resident,
     )
     # cap the test split like the reference's SuperPoint trainer
     # (`superpointtrainer.py:11`: 1000 items) so per-epoch eval stays cheap
-    test = BatchLoader(
+    test = make_loader(
         open_dataset(path, "test", size=test_size), cfg.batch_size,
-        cfg.max_points, shuffle=False,
+        cfg.max_points, shuffle=False, device_resident=device_resident,
     )
     return train, test
 
@@ -122,9 +129,13 @@ def main(argv=None) -> None:
         from feature_point_cnn_tpu.train.trainer import Trainer
 
         write_stats = not opt.no_write_statistics
+        placement = {"auto": "auto", "device": "on", "host": "off"}[
+            opt.data_placement
+        ]
         if opt.synthetic_path:
             print("MagicPoint training on synthetic shapes...")
-            train, test = _loaders(cfg, opt.synthetic_path)
+            train, test = _loaders(cfg, opt.synthetic_path,
+                                    device_resident=placement)
             Trainer(
                 cfg, "magicpoint", train, test,
                 checkpoint_dir=opt.checkpoint_path,
@@ -139,7 +150,8 @@ def main(argv=None) -> None:
             )
         elif opt.coco_path and opt.magic_point:
             print("MagicPoint training on labeled COCO...")
-            train, test = _loaders(cfg, opt.coco_path)
+            train, test = _loaders(cfg, opt.coco_path,
+                                    device_resident=placement)
             Trainer(
                 cfg, "magicpoint", train, test,
                 checkpoint_dir=opt.checkpoint_path,
@@ -147,7 +159,8 @@ def main(argv=None) -> None:
             ).train()
         elif opt.coco_path:
             print("SuperPoint joint training...")
-            train, test = _loaders(cfg, opt.coco_path, test_size=1000)
+            train, test = _loaders(cfg, opt.coco_path, test_size=1000,
+                                    device_resident=placement)
             Trainer(
                 cfg, "superpoint", train, test,
                 checkpoint_dir=opt.checkpoint_path,

@@ -161,3 +161,84 @@ def test_packed_batch_loader_uint8(tiny_dataset, tmp_path):
         for b in npz_loader.epoch(0) for img in b["image"]
     )
     np.testing.assert_allclose(pk_sums, npz_sums, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Device-resident store (data/device_store.py)
+
+
+def test_device_loader_matches_packed_arrays(tiny_dataset, tmp_path):
+    import jax.numpy as jnp
+
+    from feature_point_cnn_tpu.data.device_store import DeviceBatchLoader
+    from feature_point_cnn_tpu.data.packed import PackedPointDataset, pack_dataset
+
+    out = tmp_path / "packed_dev"
+    pack_dataset(str(tiny_dataset), str(out))
+    ds = PackedPointDataset(str(out), "train", seed=0)
+    loader = DeviceBatchLoader(ds, batch_size=4, max_points=32, seed=0)
+    assert len(loader) == 3
+
+    # reconstruct the host-side view the loader uploaded
+    idx = np.sort(np.asarray(ds.index))
+    host_imgs = np.asarray(ds.images[idx])
+    host_counts = np.asarray(ds.counts[idx])
+
+    order = np.arange(host_imgs.shape[0])
+    np.random.default_rng(loader.seed + 1).shuffle(order)
+    batches = list(loader.epoch(1))
+    for bi, b in enumerate(batches):
+        assert b["image"].dtype == jnp.uint8
+        assert b["image"].shape == (4, 48, 64, 1)
+        assert b["points"].shape == (4, 32, 2)
+        take = order[bi * 4 : (bi + 1) * 4]
+        np.testing.assert_array_equal(np.asarray(b["image"]), host_imgs[take])
+        np.testing.assert_array_equal(
+            np.asarray(b["points_valid"]).sum(-1), host_counts[take]
+        )
+
+
+def test_device_loader_train_step(tiny_dataset, tmp_path):
+    """A jitted MagicPoint step consumes device-resident batches as-is."""
+    import jax
+
+    from feature_point_cnn_tpu.config import SuperPointConfig
+    from feature_point_cnn_tpu.data.device_store import DeviceBatchLoader
+    from feature_point_cnn_tpu.data.packed import PackedPointDataset, pack_dataset
+    from feature_point_cnn_tpu.models.superpoint import init_superpoint
+    from feature_point_cnn_tpu.train import steps as S
+    from feature_point_cnn_tpu.train.optimizer import make_optimizer
+
+    out = tmp_path / "packed_dev2"
+    pack_dataset(str(tiny_dataset), str(out))
+    ds = PackedPointDataset(str(out), "train", seed=0)
+    loader = DeviceBatchLoader(ds, batch_size=4, max_points=32, seed=0)
+
+    cfg = SuperPointConfig(batch_size=4, max_points=32)
+    model, variables = init_superpoint(jax.random.PRNGKey(0), cfg, (48, 64))
+    tx = make_optimizer(cfg, variables["params"], frozen_subtree="descriptor",
+                        total_steps=10)
+    state = S.create_train_state(variables, tx)
+    batch = next(iter(loader.epoch(0)))
+    state2, metrics = S.magicpoint_train_step(
+        state, batch, jax.random.PRNGKey(1), model=model, tx=tx, config=cfg
+    )
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state2.step) == 1
+
+
+def test_make_loader_auto_selection(tiny_dataset, tmp_path):
+    from feature_point_cnn_tpu.data.datasets import BatchLoader as HostLoader
+    from feature_point_cnn_tpu.data.device_store import (
+        DeviceBatchLoader,
+        make_loader,
+    )
+    from feature_point_cnn_tpu.data.packed import PackedPointDataset, pack_dataset
+
+    out = tmp_path / "packed_auto"
+    pack_dataset(str(tiny_dataset), str(out))
+    ds = PackedPointDataset(str(out), "train", seed=0)
+    assert isinstance(make_loader(ds, 4, 32), DeviceBatchLoader)
+    assert isinstance(make_loader(ds, 4, 32, device_resident="off"), HostLoader)
+    npz = NpzPointDataset(str(tiny_dataset), "train", seed=0)
+    assert isinstance(make_loader(npz, 4, 32), HostLoader)
