@@ -18,13 +18,20 @@ encoding, and augmentation already happen inside the train step
 (`train/steps.py:_prep_images`), so the gathered batch stays uint8 end to
 end.
 
-Sharding: arrays are placed replicated on the data mesh and the gather's
-output is batch-sharded, so the same loader drives 1 chip or a mesh (each
-device materializes only its batch shard; XLA partitions the gather).  At
-pod scale, where replicating the dataset would waste HBM, the intended
-layout is to shard the item axis across hosts instead — each host uploads
-only its `process_shard` slice (`parallel/distributed.py`) and samples
-locally, which is exactly how the host-side loader already shards files.
+Sharding: two placements, both yielding batch-sharded outputs so the same
+jitted train step consumes either —
+
+* ``items_placement="replicated"`` (default): arrays replicated on the data
+  mesh, batches gathered with a jitted global index gather (XLA partitions
+  it; each device materializes only its batch shard).  Right for one chip or
+  a small mesh where the dataset is tiny next to HBM.
+* ``items_placement="sharded"``: the ITEM axis is sharded over the data
+  mesh — each device holds ``N/d`` items and samples its batch shard from
+  its local slice under `jax.shard_map` (no cross-device traffic at all).
+  This is the pod-scale layout: HBM cost per chip shrinks with the mesh,
+  matching how the host-side loader shards files across processes
+  (`parallel/distributed.py:process_shard`).  Sampling is per-shard (each
+  device shuffles its own slice), the standard distributed-loader semantic.
 """
 
 from __future__ import annotations
@@ -34,7 +41,7 @@ from typing import Dict, Iterator, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from feature_point_cnn_tpu.parallel.mesh import batch_sharding, replicated
 
@@ -64,58 +71,130 @@ class DeviceBatchLoader:
         mesh: Optional[Mesh] = None,
         seed: int = 0,
         shuffle: bool = True,
+        items_placement: str = "replicated",
     ):
         from feature_point_cnn_tpu.parallel.mesh import make_mesh
 
+        assert items_placement in ("replicated", "sharded"), items_placement
         self.batch_size = batch_size
         self.max_points = max_points
         self.seed = seed
         self.shuffle = shuffle
+        self.items_placement = items_placement
         self.mesh = mesh if mesh is not None else make_mesh(batch_size=batch_size)
+        d = int(self.mesh.devices.size)
+        self._d = d
+        if items_placement == "sharded":
+            assert batch_size % d == 0, (batch_size, d)
 
         # materialize the dataset's (possibly size-capped, seed-permuted)
         # item view once on host, then upload; epoch shuffles index into it
         idx = np.sort(np.asarray(dataset.index))
+        if items_placement == "sharded":
+            # item axis must divide the mesh; drop the remainder tail
+            idx = idx[: len(idx) - len(idx) % d]
         stored = dataset.points.shape[1]
         k = min(stored, max_points)
         points = np.zeros((len(idx), max_points, 2), np.float32)
         points[:, :k] = dataset.points[idx, :k]
         counts = np.minimum(np.asarray(dataset.counts[idx]), max_points)
 
-        rep = replicated(self.mesh)
-        self.images = jax.device_put(np.asarray(dataset.images[idx]), rep)
-        self.points = jax.device_put(points, rep)
-        self.counts = jax.device_put(counts.astype(np.int32), rep)
+        axis = self.mesh.axis_names[0]
+        place = (
+            replicated(self.mesh)
+            if items_placement == "replicated"
+            else NamedSharding(self.mesh, P(axis))
+        )
+        self.images = jax.device_put(np.asarray(dataset.images[idx]), place)
+        self.points = jax.device_put(points, place)
+        self.counts = jax.device_put(counts.astype(np.int32), place)
         jax.block_until_ready(self.images)
 
         out_shard = batch_sharding(self.mesh)
 
-        def gather(images, points, counts, batch_idx):
-            img = jnp.take(images, batch_idx, axis=0)
-            pts = jnp.take(points, batch_idx, axis=0)
-            cnt = jnp.take(counts, batch_idx, axis=0)
-            valid = jnp.arange(max_points)[None, :] < cnt[:, None]
-            return {"image": img, "points": pts, "points_valid": valid}
+        if items_placement == "replicated":
 
-        self._gather = jax.jit(
-            gather,
-            out_shardings={
-                "image": out_shard, "points": out_shard, "points_valid": out_shard,
-            },
-        )
+            def gather(images, points, counts, batch_idx):
+                img = jnp.take(images, batch_idx, axis=0)
+                pts = jnp.take(points, batch_idx, axis=0)
+                cnt = jnp.take(counts, batch_idx, axis=0)
+                valid = jnp.arange(max_points)[None, :] < cnt[:, None]
+                return {"image": img, "points": pts, "points_valid": valid}
+
+            self._gather = jax.jit(
+                gather,
+                out_shardings={
+                    "image": out_shard,
+                    "points": out_shard,
+                    "points_valid": out_shard,
+                },
+            )
+        else:
+            # each device gathers its (B/d) batch rows from its OWN item
+            # shard — zero inter-chip traffic, HBM cost N/d per chip
+            def local_gather(images, points, counts, batch_idx):
+                idx_local = batch_idx[0]                     # (B/d,)
+                img = jnp.take(images, idx_local, axis=0)
+                pts = jnp.take(points, idx_local, axis=0)
+                cnt = jnp.take(counts, idx_local, axis=0)
+                valid = jnp.arange(max_points)[None, :] < cnt[:, None]
+                return {"image": img, "points": pts, "points_valid": valid}
+
+            self._gather = jax.jit(
+                jax.shard_map(
+                    local_gather,
+                    mesh=self.mesh,
+                    in_specs=(P(axis), P(axis), P(axis), P(axis)),
+                    out_specs={
+                        "image": P(axis),
+                        "points": P(axis),
+                        "points_valid": P(axis),
+                    },
+                )
+            )
 
     def __len__(self) -> int:
         return self.images.shape[0] // self.batch_size
 
+    def _epoch_order(self, epoch_index: int) -> np.ndarray:
+        """Replicated: global permutation (N,).  Sharded: per-device local
+        permutations, returned as (n_batches, d, B/d) local row indices."""
+        rng = np.random.default_rng(self.seed + epoch_index)
+        if self.items_placement == "replicated":
+            order = np.arange(self.images.shape[0])
+            if self.shuffle:
+                rng.shuffle(order)
+            return order
+        d, n_local = self._d, self.images.shape[0] // self._d
+        b_local = self.batch_size // d
+        orders = np.stack([
+            rng.permutation(n_local) if self.shuffle else np.arange(n_local)
+            for _ in range(d)
+        ])                                                   # (d, n_local)
+        n_batches = len(self)
+        out = np.stack([
+            orders[:, i * b_local : (i + 1) * b_local]
+            for i in range(n_batches)
+        ])                                                   # (nb, d, B/d)
+        return out
+
     def epoch(self, epoch_index: int = 0) -> Iterator[Dict[str, jnp.ndarray]]:
-        order = np.arange(self.images.shape[0])
-        if self.shuffle:
-            np.random.default_rng(self.seed + epoch_index).shuffle(order)
+        order = self._epoch_order(epoch_index)
+        idx_sharding = (
+            None
+            if self.items_placement == "replicated"
+            else NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
+        )
         for i in range(len(self)):
-            batch_idx = jnp.asarray(
-                order[i * self.batch_size : (i + 1) * self.batch_size],
-                jnp.int32,
-            )
+            if self.items_placement == "replicated":
+                batch_idx = jnp.asarray(
+                    order[i * self.batch_size : (i + 1) * self.batch_size],
+                    jnp.int32,
+                )
+            else:
+                batch_idx = jax.device_put(
+                    order[i].astype(np.int32), idx_sharding
+                )                                            # (d, B/d)
             yield self._gather(self.images, self.points, self.counts, batch_idx)
 
 

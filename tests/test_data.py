@@ -242,3 +242,77 @@ def test_make_loader_auto_selection(tiny_dataset, tmp_path):
     assert isinstance(make_loader(ds, 4, 32, device_resident="off"), HostLoader)
     npz = NpzPointDataset(str(tiny_dataset), "train", seed=0)
     assert isinstance(make_loader(npz, 4, 32), HostLoader)
+
+
+def test_device_loader_item_sharded(tiny_dataset, tmp_path):
+    """Pod-scale placement: item axis sharded over the mesh, each device
+    samples its batch shard from its local slice (shard_map gather)."""
+    import jax
+
+    from feature_point_cnn_tpu.data.device_store import DeviceBatchLoader
+    from feature_point_cnn_tpu.data.packed import PackedPointDataset, pack_dataset
+    from feature_point_cnn_tpu.parallel.mesh import make_mesh
+
+    out = tmp_path / "packed_shard"
+    pack_dataset(str(tiny_dataset), str(out))
+    ds = PackedPointDataset(str(out), "train", seed=0)   # 12 items
+    mesh = make_mesh(4)
+    loader = DeviceBatchLoader(
+        ds, batch_size=8, max_points=32, mesh=mesh, seed=0,
+        items_placement="sharded",
+    )
+    # 12 items truncated to 12 (12 % 4 == 0); 8-batch -> 1 batch
+    assert len(loader) == 1
+    # item arrays are sharded over the mesh: each device holds N/d rows
+    shard_rows = {
+        s.index[0] for s in loader.images.addressable_shards
+    }
+    assert len(loader.images.addressable_shards) == 4
+
+    idx = np.sort(np.asarray(ds.index))
+    host_imgs = np.asarray(ds.images[idx])
+    d, n_local, b_local = 4, 3, 2
+    (batch,) = list(loader.epoch(5))
+    assert batch["image"].shape == (8, 48, 64, 1)
+    # every batch row must come from the owning device's local slice
+    order = loader._epoch_order(5)                        # (1, d, B/d)
+    got = np.asarray(batch["image"])
+    for k in range(d):
+        local = host_imgs[k * n_local : (k + 1) * n_local]
+        for j in range(b_local):
+            expect = local[order[0, k, j]]
+            np.testing.assert_array_equal(got[k * b_local + j], expect)
+
+
+def test_device_loader_sharded_feeds_train_step(tiny_dataset, tmp_path):
+    """Sharded-placement batches drive the jitted data-parallel train step."""
+    import jax
+
+    from feature_point_cnn_tpu.config import SuperPointConfig
+    from feature_point_cnn_tpu.data.device_store import DeviceBatchLoader
+    from feature_point_cnn_tpu.data.packed import PackedPointDataset, pack_dataset
+    from feature_point_cnn_tpu.models.superpoint import init_superpoint
+    from feature_point_cnn_tpu.parallel.mesh import make_mesh, replicate_state
+    from feature_point_cnn_tpu.train import steps as S
+    from feature_point_cnn_tpu.train.optimizer import make_optimizer
+
+    out = tmp_path / "packed_shard2"
+    pack_dataset(str(tiny_dataset), str(out))
+    ds = PackedPointDataset(str(out), "train", seed=0)
+    mesh = make_mesh(4)
+    loader = DeviceBatchLoader(
+        ds, batch_size=8, max_points=32, mesh=mesh,
+        items_placement="sharded",
+    )
+    cfg = SuperPointConfig(batch_size=8, max_points=32)
+    model, variables = init_superpoint(jax.random.PRNGKey(0), cfg, (48, 64))
+    tx = make_optimizer(cfg, variables["params"], frozen_subtree="descriptor",
+                        total_steps=10)
+    state = replicate_state(S.create_train_state(variables, tx), mesh)
+    batch = next(iter(loader.epoch(0)))
+    state2, metrics = jax.jit(
+        lambda s, b, k: S.magicpoint_train_step(
+            s, b, k, model=model, tx=tx, config=cfg
+        )
+    )(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
