@@ -6,6 +6,25 @@ point — fixed 480x640 input (`/root/reference/cpp/src/superpoint.cc:20-26`),
 model forward + softmax/depth-to-space decode + NMS + top-K + bilinear
 descriptor sampling + mutual-nearest-neighbor matching against a keyframe.
 
+Timing methodology (round-2 correction): on this environment's relayed TPU,
+`jax.block_until_ready` returns on dispatch ACK, NOT device completion —
+timings built on it measure the relay's dispatch rate (measured: a 50-frame
+scan "finishing" faster than one frame).  Every number below therefore
+forces completion by FETCHING a scalar derived from the full pipeline
+output.  A synchronous execute+fetch of even a trivial program costs ~33 ms
+through the relay, so the benchmark reports:
+
+* ``value``          — batched (b64) end-to-end frames/s/chip, relay
+                       overhead amortized across the batch;
+* ``b1_latency_ms``  — single-frame synchronous latency (relay-dominated
+                       here; on a locally attached chip subtract
+                       ``relay_execute_ms``);
+* ``device_ms_per_frame`` — marginal per-frame device time from the
+                       (b64 - b8) slope: the relay's fixed cost cancels in
+                       the subtraction, so this is the chip-side number;
+* ``relay_execute_ms`` — the environment's fixed execute+fetch round trip,
+                       measured on a one-FLOP program.
+
 The reference publishes no numbers (BASELINE.md); `vs_baseline` is reported
 against the 30 FPS real-time webcam rate its live demos target
 (`inference.py:107-110`, `main.cc:104-111`).
@@ -19,6 +38,17 @@ import json
 import time
 
 import numpy as np
+
+
+def _median_fetch_seconds(fn, n, *args) -> float:
+    """Median wall time of ``float(fn(*args))`` — the fetch forces device
+    completion (block_until_ready does not, through the relay)."""
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        float(fn(*args))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
 
 
 def main() -> None:
@@ -35,110 +65,57 @@ def main() -> None:
     model, variables = init_superpoint(jax.random.PRNGKey(0), cfg, (h, w))
 
     extract = functools.partial(extract_fn, model=model, config=cfg)
-
-    def frame_fn(variables, image, key_desc, key_valid):
-        kp, desc = extract(variables, image)
-        m = mnn_match(desc[0], kp.valid[0], key_desc, key_valid)
-        return kp, desc, m
-
-    frame_jit = jax.jit(frame_fn)
-
     rng = np.random.default_rng(0)
-    image = jnp.asarray(rng.random((1, h, w, 3)), jnp.float32)
-    kp0, desc0 = jax.jit(extract)(variables, image)
+
+    kp0, desc0 = jax.jit(extract)(
+        variables, jnp.asarray(rng.random((1, h, w, 3)), jnp.float32)
+    )
     key_desc, key_valid = desc0[0], kp0.valid[0]
 
-    # warmup / compile
-    out = frame_jit(variables, image, key_desc, key_valid)
-    jax.block_until_ready(out)
-
-    import os
-
-    iters = int(os.environ.get("FPC_BENCH_ITERS", "100"))
-    t0 = time.perf_counter()
-    for i in range(iters):
-        out = frame_jit(variables, image, key_desc, key_valid)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    fps = iters / dt
-
-    # Device-time FPS: chain CHAIN frames inside ONE jitted program via
-    # lax.scan, so the host<->device round trip (which dominates b1 dispatch
-    # latency through the axon relay — it varies >3x run-to-run) is amortized
-    # to noise and the number reflects what the chip itself sustains.  The
-    # scalar carry feeds the next frame's input so XLA cannot hoist the
-    # loop-invariant body out of the scan.
-    chain = int(os.environ.get("FPC_BENCH_CHAIN", "50"))
-
-    def chained_fn(variables, image, key_desc, key_valid):
-        def body(carry, _):
-            kp, desc, m = frame_fn(
-                variables, image + carry, key_desc, key_valid
-            )
-            nxt = (m.num.astype(jnp.float32) % 2.0) * 1e-12
-            return nxt, ()
-
-        carry, _ = jax.lax.scan(
-            body, jnp.float32(0.0), None, length=chain
-        )
-        return carry
-
-    chained_jit = jax.jit(chained_fn)
-    jax.block_until_ready(chained_jit(variables, image, key_desc, key_valid))
-    reps = int(os.environ.get("FPC_BENCH_REPS", "5"))
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = chained_jit(variables, image, key_desc, key_valid)
-    jax.block_until_ready(out)
-    device_fps = reps * chain / (time.perf_counter() - t0)
-
-    # batched throughput: same chained program at batch 8 — the number that
-    # matters when serving many streams (or self-labeling) rather than one
-    # latency-bound camera
-    bsz = int(os.environ.get("FPC_BENCH_BATCH", "8"))
-    image_b = jnp.asarray(rng.random((bsz, h, w, 3)), jnp.float32)
-    kp0b, desc0b = jax.jit(extract)(variables, image_b)
-
-    def frame_fn_b(variables, images, key_desc, key_valid):
+    def frame_scalar(variables, images, key_desc, key_valid):
         kp, desc = extract(variables, images)
         m = jax.vmap(mnn_match, in_axes=(0, 0, None, None))(
             desc, kp.valid, key_desc, key_valid
         )
-        return kp, desc, m
+        return jnp.sum(m.num) + jnp.sum(kp.score) + jnp.sum(desc[..., 0])
 
-    def chained_b(variables, images, key_desc, key_valid):
-        def body(carry, _):
-            kp, desc, m = frame_fn_b(
-                variables, images + carry, key_desc, key_valid
-            )
-            nxt = (jnp.sum(m.num).astype(jnp.float32) % 2.0) * 1e-12
-            return nxt, ()
+    frame_jit = jax.jit(frame_scalar)
 
-        carry, _ = jax.lax.scan(
-            body, jnp.float32(0.0), None, length=chain
+    # fixed relay execute+fetch round trip, on a one-FLOP program
+    tiny = jax.jit(lambda v: v * 2.0)
+    x = jax.device_put(jnp.float32(1.5))
+    float(tiny(x))
+    t_tiny = _median_fetch_seconds(tiny, 30, x)
+
+    times = {}
+    for bsz in (1, 8, 64):
+        img = jax.device_put(
+            jnp.asarray(rng.random((bsz, h, w, 3)), jnp.float32)
         )
-        return carry
+        float(frame_jit(variables, img, key_desc, key_valid))  # compile+warm
+        times[bsz] = _median_fetch_seconds(
+            frame_jit, 10, variables, img, key_desc, key_valid
+        )
 
-    chained_b_jit = jax.jit(chained_b)
-    jax.block_until_ready(
-        chained_b_jit(variables, image_b, key_desc, key_valid)
-    )
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = chained_b_jit(variables, image_b, key_desc, key_valid)
-    jax.block_until_ready(out)
-    batched_fps = reps * chain * bsz / (time.perf_counter() - t0)
+    throughput_b64 = 64.0 / times[64]
+    device_s_per_frame = (times[64] - times[8]) / (64 - 8)
 
     device = jax.devices()[0]
     print(
         json.dumps(
             {
-                "metric": f"detect_describe_match_fps_{h}x{w}_b1_{device.platform}",
-                "value": round(fps, 2),
+                "metric": (
+                    f"detect_describe_match_fps_{h}x{w}_b64_{device.platform}"
+                ),
+                "value": round(throughput_b64, 2),
                 "unit": "frames/s/chip",
-                "vs_baseline": round(fps / 30.0, 2),
-                "device_fps": round(device_fps, 2),
-                f"batched_b{bsz}_fps": round(batched_fps, 2),
+                "vs_baseline": round(throughput_b64 / 30.0, 2),
+                "b1_latency_ms": round(times[1] * 1e3, 3),
+                "b1_fps": round(1.0 / times[1], 2),
+                "b8_fps": round(8.0 / times[8], 2),
+                "device_ms_per_frame": round(device_s_per_frame * 1e3, 4),
+                "device_fps_est": round(1.0 / device_s_per_frame, 2),
+                "relay_execute_ms": round(t_tiny * 1e3, 3),
             }
         )
     )
