@@ -148,16 +148,20 @@ def matching_metrics(
     h_err = float("nan")
     h_err_cv2 = float("nan")
     if mv.sum() >= 4:
-        # ransac_homography returns H with pts1 ≈ H·pts2, so passing
-        # (matched view-2 points, view-1 points) estimates view1 -> view2 —
-        # the direction of the ground-truth h_flat
+        # The ground-truth ``h_flat`` is output->input: `warp_points(p, h)`
+        # applies its INVERSE, so h itself maps view-2 points to view-1
+        # under direct application.  `ransac_homography` returns H with
+        # pts1 ≈ H·pts2 (direct), so view-1 points go FIRST and the matched
+        # view-2 targets second — same direction as the ground truth.
+        # (Pinned by `tests/test_eval.py::test_matching_metrics_warped`;
+        # the swapped order passes only at identity homographies.)
         import jax as _jax
 
         dst_all = p2[mi]                         # (K, 2) matched targets
         est = ransac_homography(
             _jax.random.PRNGKey(0),
-            jnp.asarray(dst_all, jnp.float32),
             jnp.asarray(p1, jnp.float32),
+            jnp.asarray(dst_all, jnp.float32),
             jnp.asarray(mv),
             inlier_thresh=float(eps),
         )

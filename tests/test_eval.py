@@ -69,6 +69,29 @@ def test_matching_metrics_perfect(rng):
     assert out["matching_score"] == 1.0
 
 
+def test_matching_metrics_warped(rng):
+    """Perfect matches under a NON-trivial homography -> the framework
+    RANSAC path must recover it (corner error ~0).  Pins the argument
+    order of `ransac_homography` in `eval/metrics.py`: the identity-
+    homography test alone cannot catch a direction swap."""
+    pts = (rng.random((16, 2)) * [30, 44] + 8).astype(np.float32)
+    hf = G.sample_homography(jax.random.PRNGKey(5), SHAPE)
+    warped = np.asarray(G.warp_points(jnp.asarray(pts), hf))
+    desc = rng.standard_normal((16, 32)).astype(np.float32)
+    desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+    d = np.zeros((1, 32, 32), np.float32)
+    d[0, :16] = desc
+    out = matching_metrics(
+        _kp_from_points(pts), jnp.asarray(d),
+        _kp_from_points(warped), jnp.asarray(d),
+        np.asarray(hf), SHAPE, eps=2.0,
+    )
+    assert out["match_precision"] == 1.0
+    assert out["homography_correct"] == 1.0
+    assert out["homography_error"] < 0.5
+    assert out["homography_error_cv2"] < 0.5
+
+
 def test_evaluate_pairs_end_to_end():
     cfg = SuperPointConfig(
         train_image_size=SHAPE, max_keypoints=64, compute_dtype="float32"
