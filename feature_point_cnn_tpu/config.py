@@ -34,6 +34,12 @@ class SuperPointConfig:
     # --- fixed-shape keypoint representation (TPU-native; replaces the
     # reference's ragged numpy arrays, netutils.py:78-100) ---
     max_keypoints: int = 1024         # K: keypoints padded/truncated to this
+    subpixel_refine: bool = False     # center-of-mass subpixel keypoint
+                                      # refinement over the 3x3 prob
+                                      # neighborhood (ops/detection.py::
+                                      # refine_keypoints) — beyond-reference
+                                      # (it emits integer pixels); off by
+                                      # default for exact reference parity
     nms_iters: int = 0                # 0 = iterate suppression rounds to
                                       # convergence (EXACT greedy NMS at any
                                       # chain depth, lax.while_loop); >0 =

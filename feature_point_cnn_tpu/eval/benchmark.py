@@ -102,9 +102,13 @@ def main(argv=None) -> None:
     ap.add_argument("--W", type=int, default=320)
     ap.add_argument("--eps", type=float, default=3.0)
     ap.add_argument("--max-keypoints", type=int, default=512)
+    ap.add_argument("--subpixel", action="store_true",
+                    help="center-of-mass subpixel keypoint refinement")
     opt = ap.parse_args(argv)
 
-    cfg = SuperPointConfig(max_keypoints=opt.max_keypoints)
+    cfg = SuperPointConfig(
+        max_keypoints=opt.max_keypoints, subpixel_refine=opt.subpixel
+    )
     frontend = SuperPointFrontend(cfg, checkpoint_dir=opt.weights_path)
     shape = (opt.H, opt.W)
     if opt.source == "synthetic":

@@ -54,6 +54,12 @@ def extract_fn(
         kp = extract_keypoints_from_scores(scores, config)
     else:
         kp = extract_keypoints(prob, config)
+    if config.subpixel_refine:
+        from feature_point_cnn_tpu.ops.detection import refine_keypoints
+
+        # refine on the RAW prob map (the thresholded score map zeroes
+        # sub-threshold neighbors and would bias the center of mass)
+        kp = refine_keypoints(prob, kp)
     desc = sample_descriptors(desc_map, kp, h, w)
     return kp, desc
 

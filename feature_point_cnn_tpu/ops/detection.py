@@ -174,6 +174,44 @@ def extract_keypoints_from_scores(
     return Keypoints(y=y, x=x, score=jnp.where(valid, top_scores, 0.0), valid=valid)
 
 
+def refine_keypoints(prob_map: jnp.ndarray, kp: Keypoints) -> Keypoints:
+    """Subpixel refinement: per-axis log-parabola fit through the keypoint's
+    3-pixel probability profile (exact for a Gaussian peak).
+
+    Beyond-reference capability (the reference emits integer pixel
+    coordinates, `netutils.py:84-88`): the detector's probability mass around
+    a corner carries subpixel information that integer argmax discards.
+    ``offset = 0.5 (ln v₋ − ln v₊) / (ln v₋ − 2 ln v₀ + ln v₊)``, clipped to
+    ±0.5 (NMS guarantees v₀ is the local max, so the true peak lies within
+    half a pixel).  ``border_remove >= 1`` keeps the window in-bounds for
+    valid points; invalid slots pass through unchanged.
+    """
+    b, h, w = prob_map.shape
+    offs = jnp.arange(-1, 2)
+    yy = jnp.clip(
+        kp.y[..., None, None].astype(jnp.int32) + offs[None, None, :, None],
+        0, h - 1,
+    )
+    xx = jnp.clip(
+        kp.x[..., None, None].astype(jnp.int32) + offs[None, None, None, :],
+        0, w - 1,
+    )
+    vals = jax.vmap(lambda pm, y, x: pm[y, x])(prob_map, yy, xx)  # (B,K,3,3)
+    lv = jnp.log(jnp.maximum(vals, 1e-20))
+
+    def parabola(lm, l0, lp):
+        denom = lm - 2.0 * l0 + lp
+        off = 0.5 * (lm - lp) / jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
+        # a non-concave profile (denom >= 0) means no interior peak: keep 0
+        return jnp.where(denom < 0.0, jnp.clip(off, -0.5, 0.5), 0.0)
+
+    dy = parabola(lv[..., 0, 1], lv[..., 1, 1], lv[..., 2, 1])
+    dx = parabola(lv[..., 1, 0], lv[..., 1, 1], lv[..., 1, 2])
+    y = jnp.where(kp.valid, jnp.clip(kp.y + dy, 0.0, h - 1.0), kp.y)
+    x = jnp.where(kp.valid, jnp.clip(kp.x + dx, 0.0, w - 1.0), kp.x)
+    return kp._replace(y=y, x=x)
+
+
 def keypoints_to_numpy(kp: Keypoints, batch_index: int = 0):
     """One batch element as the reference's ragged ``3 x N`` ``[x, y, conf]``
     numpy layout (`netutils.py:84-88`) — host-side convenience only."""

@@ -173,3 +173,48 @@ def test_grid_nms_convergence_under_jit(rng):
     f = jax.jit(lambda s: D.grid_nms(s, 4))
     got = np.asarray(f(jnp.asarray(scores[None])))[0]
     np.testing.assert_array_equal(got, _greedy_nms_oracle(scores, 4))
+
+
+def test_refine_keypoints_recovers_subpixel_peak():
+    """A Gaussian blob centered between pixels: center-of-mass refinement
+    must move the integer argmax toward the true subpixel center."""
+    import jax.numpy as jnp
+
+    from feature_point_cnn_tpu.ops.detection import Keypoints, refine_keypoints
+
+    h, w = 32, 32
+    cy, cx = 15.6, 16.3
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    prob = np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * 1.2 ** 2))
+    iy, ix = np.unravel_index(np.argmax(prob), prob.shape)
+
+    kp = Keypoints(
+        y=jnp.asarray([[float(iy), 0.0]]),
+        x=jnp.asarray([[float(ix), 0.0]]),
+        score=jnp.asarray([[1.0, 0.0]]),
+        valid=jnp.asarray([[True, False]]),
+    )
+    out = refine_keypoints(jnp.asarray(prob)[None], kp)
+    err_int = np.hypot(iy - cy, ix - cx)
+    err_ref = np.hypot(float(out.y[0, 0]) - cy, float(out.x[0, 0]) - cx)
+    assert err_ref < err_int
+    assert err_ref < 0.05  # log-parabola is exact for a Gaussian peak
+    # invalid slot untouched
+    assert float(out.y[0, 1]) == 0.0 and float(out.x[0, 1]) == 0.0
+
+
+def test_refine_keypoints_border_safe():
+    import jax.numpy as jnp
+
+    from feature_point_cnn_tpu.ops.detection import Keypoints, refine_keypoints
+
+    prob = np.random.default_rng(0).random((1, 16, 16)).astype(np.float32)
+    kp = Keypoints(
+        y=jnp.asarray([[0.0, 15.0]]),
+        x=jnp.asarray([[0.0, 15.0]]),
+        score=jnp.asarray([[1.0, 1.0]]),
+        valid=jnp.asarray([[True, True]]),
+    )
+    out = refine_keypoints(jnp.asarray(prob), kp)
+    assert np.all(np.asarray(out.y) >= 0) and np.all(np.asarray(out.y) <= 15)
+    assert np.all(np.asarray(out.x) >= 0) and np.all(np.asarray(out.x) <= 15)
