@@ -179,7 +179,7 @@ def matching_metrics(
             proj = np.concatenate([c_xy, np.ones((4, 1))], -1) @ est_cv.T
             proj = (proj[:, :2] / proj[:, 2:])[:, ::-1]   # back to (y, x)
             h_err_cv2 = float(np.linalg.norm(proj - true, axis=-1).mean())
-    return {
+    out = {
         "matching_score": matching_score,
         "num_matches": int(mv.sum()),
         "num_correct_matches": int(correct.sum()),
@@ -188,3 +188,10 @@ def matching_metrics(
         "homography_error": h_err,
         "homography_error_cv2": h_err_cv2,
     }
+    # HPatches-protocol accuracy at the standard corner-error thresholds,
+    # derived from the same estimate (0.0 when no estimate was possible)
+    for tol in (1.0, 3.0, 5.0):
+        out[f"homography_acc_{int(tol)}px"] = float(
+            np.isfinite(h_err) and h_err <= tol
+        )
+    return out

@@ -141,12 +141,16 @@ def main(argv=None) -> None:
     ap.add_argument("--H", type=int, default=240)
     ap.add_argument("--W", type=int, default=320)
     ap.add_argument("--max-keypoints", type=int, default=512)
+    ap.add_argument("--subpixel", action="store_true",
+                    help="center-of-mass subpixel keypoint refinement")
     opt = ap.parse_args(argv)
 
     from feature_point_cnn_tpu.inference.wrapper import SuperPointFrontend
     from feature_point_cnn_tpu.slam.tracking import frontend_extractor
 
-    cfg = SuperPointConfig(max_keypoints=opt.max_keypoints)
+    cfg = SuperPointConfig(
+        max_keypoints=opt.max_keypoints, subpixel_refine=opt.subpixel
+    )
     frontend = SuperPointFrontend(cfg, checkpoint_dir=opt.weights_path)
     base = _base_image(opt.source, (opt.H, opt.W))
     out = evaluate_tracking(
