@@ -121,6 +121,7 @@ class DeviceBatchLoader:
                 valid = jnp.arange(max_points)[None, :] < cnt[:, None]
                 return {"image": img, "points": pts, "points_valid": valid}
 
+            self._gather_pure = gather
             self._gather = jax.jit(
                 gather,
                 out_shardings={
@@ -140,18 +141,17 @@ class DeviceBatchLoader:
                 valid = jnp.arange(max_points)[None, :] < cnt[:, None]
                 return {"image": img, "points": pts, "points_valid": valid}
 
-            self._gather = jax.jit(
-                jax.shard_map(
-                    local_gather,
-                    mesh=self.mesh,
-                    in_specs=(P(axis), P(axis), P(axis), P(axis)),
-                    out_specs={
-                        "image": P(axis),
-                        "points": P(axis),
-                        "points_valid": P(axis),
-                    },
-                )
+            self._gather_pure = jax.shard_map(
+                local_gather,
+                mesh=self.mesh,
+                in_specs=(P(axis), P(axis), P(axis), P(axis)),
+                out_specs={
+                    "image": P(axis),
+                    "points": P(axis),
+                    "points_valid": P(axis),
+                },
             )
+            self._gather = jax.jit(self._gather_pure)
 
     def __len__(self) -> int:
         return self.images.shape[0] // self.batch_size
@@ -178,7 +178,10 @@ class DeviceBatchLoader:
         ])                                                   # (nb, d, B/d)
         return out
 
-    def epoch(self, epoch_index: int = 0) -> Iterator[Dict[str, jnp.ndarray]]:
+    def epoch_index_arrays(self, epoch_index: int = 0) -> Iterator[jnp.ndarray]:
+        """Per-batch index arrays only — for callers that fuse the gather
+        into their own jitted program (`Trainer` fuses it into the train
+        step, removing one serialized device dispatch per step)."""
         order = self._epoch_order(epoch_index)
         idx_sharding = (
             None
@@ -187,15 +190,28 @@ class DeviceBatchLoader:
         )
         for i in range(len(self)):
             if self.items_placement == "replicated":
-                batch_idx = jnp.asarray(
+                yield jnp.asarray(
                     order[i * self.batch_size : (i + 1) * self.batch_size],
                     jnp.int32,
                 )
             else:
-                batch_idx = jax.device_put(
+                yield jax.device_put(
                     order[i].astype(np.int32), idx_sharding
                 )                                            # (d, B/d)
+
+    def epoch(self, epoch_index: int = 0) -> Iterator[Dict[str, jnp.ndarray]]:
+        for batch_idx in self.epoch_index_arrays(epoch_index):
             yield self._gather(self.images, self.points, self.counts, batch_idx)
+
+    def gather_fn(self):
+        """The pure gather, traceable inside a caller's jitted program
+        (`shard_map`-wrapped under item-sharded placement, so it composes
+        and keeps the zero-traffic local gathers)."""
+        return self._gather_pure
+
+    def materialize(self, batch_idx) -> Dict[str, jnp.ndarray]:
+        """One batch as device arrays (for summaries/debug)."""
+        return self._gather(self.images, self.points, self.counts, batch_idx)
 
 
 # Auto-selection threshold: leave the bulk of HBM for activations/optimizer.
