@@ -103,6 +103,7 @@ class SuperPointFrontend:
                     f"[frontend] loaded checkpoint step {step} from {checkpoint_dir}"
                 )
         self.variables = variables
+        self._sharded_cache: dict = {}
         self._extract = jax.jit(
             functools.partial(extract_fn, model=self.model, config=config)
         )
@@ -117,6 +118,44 @@ class SuperPointFrontend:
         """Batched fixed-K extraction: ``(B, H, W, 3) -> (Keypoints, desc
         (B, K, D))`` — all on device."""
         return self._extract(self.variables, jnp.asarray(images, jnp.float32))
+
+    def extract_sharded(self, images, mesh) -> Tuple[Keypoints, jnp.ndarray]:
+        """Multi-chip batched extraction: the batch is sharded over ``mesh``
+        and every device runs the FULL fused program (Pallas kernels
+        included) on its local shard under ``shard_map`` — extraction is
+        embarrassingly parallel, so throughput scales linearly over ICI with
+        zero collectives.  This is the pod-scale serving path the reference's
+        single-GPU app has no analog of (`cpp/src/main.cc`)."""
+        axis = mesh.axis_names[0]
+        key = (id(mesh), images.shape[1:3])
+        fn = self._sharded_cache.get(key)
+        if fn is None:
+            from jax.sharding import PartitionSpec as P
+
+            body = functools.partial(
+                extract_fn, model=self.model, config=self.config
+            )
+            fn = jax.jit(
+                jax.shard_map(
+                    body,
+                    mesh=mesh,
+                    in_specs=(P(), P(axis)),
+                    out_specs=(
+                        Keypoints(P(axis), P(axis), P(axis), P(axis)),
+                        P(axis),
+                    ),
+                    check_vma=False,
+                )
+            )
+            self._sharded_cache[key] = fn
+        images = jnp.asarray(images, jnp.float32)
+        sharded = jax.device_put(
+            images, jax.NamedSharding(mesh, jax.P(axis))
+        )
+        variables = jax.device_put(
+            self.variables, jax.NamedSharding(mesh, jax.P())
+        )
+        return fn(variables, sharded)
 
     def run(self, img: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """Single-image convenience in the reference's layout

@@ -33,6 +33,32 @@ def test_data_parallel_forward_matches_single_device(rng):
     np.testing.assert_allclose(got, want, atol=2e-5)
 
 
+def test_sharded_serving_matches_single_device(rng):
+    """`SuperPointFrontend.extract_sharded` over an 8-device mesh returns the
+    same keypoints + descriptors as the unsharded fused extract (serving is
+    embarrassingly parallel; shard_map adds no cross-device ops)."""
+    from feature_point_cnn_tpu.inference.wrapper import SuperPointFrontend
+
+    cfg = SuperPointConfig(
+        train_image_size=(48, 64), compute_dtype="float32", max_keypoints=64
+    )
+    fe = SuperPointFrontend(config=cfg)
+    imgs = jnp.asarray(rng.random((8, 48, 64, 3)), jnp.float32)
+
+    kp_want, desc_want = fe.extract(imgs)
+    m = M.make_mesh(8)
+    kp_got, desc_got = fe.extract_sharded(imgs, m)
+
+    np.testing.assert_allclose(np.asarray(kp_got.y), np.asarray(kp_want.y))
+    np.testing.assert_allclose(np.asarray(kp_got.x), np.asarray(kp_want.x))
+    np.testing.assert_array_equal(
+        np.asarray(kp_got.valid), np.asarray(kp_want.valid)
+    )
+    np.testing.assert_allclose(
+        np.asarray(desc_got), np.asarray(desc_want), atol=1e-6
+    )
+
+
 def test_spatial_width_sharding_matches_unsharded(rng):
     """One image sharded over W across 8 devices: GSPMD inserts conv halo
     exchanges; result must equal the unsharded forward."""
