@@ -247,15 +247,30 @@ std::vector<DeviceBuffer> PjrtRuntime::Execute(
 }
 
 HostArray PjrtRuntime::ToHost(const DeviceBuffer& buf, const HostArray& spec) {
-  HostArray out = spec;
-  out.data.resize(out.num_elements() * element_bytes(out.type));
+  PendingFetch f = StartToHost(buf, spec);
+  return WaitFetch(f);
+}
+
+PjrtRuntime::PendingFetch PjrtRuntime::StartToHost(const DeviceBuffer& buf,
+                                                   const HostArray& spec) {
+  PendingFetch f;
+  f.host = spec;
+  f.host.data.resize(f.host.num_elements() * element_bytes(f.host.type));
   auto th = Init<PJRT_Buffer_ToHostBuffer_Args>();
   th.src = buf.get();
-  th.dst = out.data.data();
-  th.dst_size = out.data.size();
+  th.dst = f.host.data.data();
+  th.dst_size = f.host.data.size();
   Check(api_->PJRT_Buffer_ToHostBuffer(&th), "PJRT_Buffer_ToHostBuffer");
-  Await(th.event, "to host");
-  return out;
+  f.event = th.event;
+  return f;
+}
+
+HostArray PjrtRuntime::WaitFetch(PendingFetch& fetch) {
+  if (fetch.event != nullptr) {
+    Await(fetch.event, "to host");  // Await destroys the event
+    fetch.event = nullptr;
+  }
+  return std::move(fetch.host);
 }
 
 std::vector<HostArray> PjrtRuntime::ExecuteHost(

@@ -117,8 +117,25 @@ class PjrtRuntime {
   // outputs (fetch with ToHost, or feed back into the next Execute).
   std::vector<DeviceBuffer> Execute(const std::vector<PJRT_Buffer*>& args);
 
-  // Device -> host into a spec-shaped array.
+  // A device->host copy in flight: started, not yet awaited.  Destination
+  // storage lives inside `host` (stable across moves); the SOURCE device
+  // buffer must stay alive until WaitFetch returns.
+  struct PendingFetch {
+    HostArray host;
+    PJRT_Event* event = nullptr;
+  };
+
+  // Device -> host into a spec-shaped array (StartToHost + WaitFetch).
   HostArray ToHost(const DeviceBuffer& buf, const HostArray& spec);
+
+  // Begin an async device->host copy.  On a relayed plugin the await is a
+  // network round trip, so starting several fetches (or the next frame's
+  // upload+execute) before awaiting overlaps those round trips — see the
+  // pipelined loop in superpoint_serve.cc.
+  PendingFetch StartToHost(const DeviceBuffer& buf, const HostArray& spec);
+
+  // Await the copy, release the event, return the filled array.
+  HostArray WaitFetch(PendingFetch& fetch);
 
   // Convenience: full host->device->host round trip.
   std::vector<HostArray> ExecuteHost(const std::vector<HostArray>& inputs,

@@ -14,15 +14,25 @@
 //   --source frames.raw     replay of concatenated raw float32 HWC frames
 //   --input frame.raw       one static raw frame repeated every iteration
 //
+// The frame loop is a software pipeline (--pipeline N, default 2): frame
+// f+1's upload+execute are enqueued BEFORE awaiting frame f's output fetch,
+// so the relay/PCIe round trips of consecutive frames overlap.  The
+// reference app is fully synchronous per frame (main.cc:77-143); on a
+// relayed plugin the pipeline hides most of the ~33 ms/frame round-trip
+// cost (PJRT buffers are futures — outputs can even feed the next execute
+// before the producing computation finishes).
+//
 // Usage:
 //   superpoint_serve --model DIR [--plugin /opt/axon/libaxon_pjrt.so]
 //                    [--frames 100] [--source SPEC] [--input frame.raw]
+//                    [--pipeline N]
 
 #include <chrono>
 #include <cmath>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <deque>
 #include <fstream>
 #include <string>
 #include <vector>
@@ -146,6 +156,7 @@ int main(int argc, char** argv) {
   std::string input_file;
   std::string source = "synthetic";
   int frames = 20;
+  int pipeline = 2;
   for (int i = 1; i < argc; ++i) {
     std::string a = argv[i];
     auto next = [&]() -> std::string {
@@ -157,10 +168,11 @@ int main(int argc, char** argv) {
     else if (a == "--frames") frames = std::atoi(next().c_str());
     else if (a == "--input") input_file = next();
     else if (a == "--source") source = next();
+    else if (a == "--pipeline") pipeline = std::atoi(next().c_str());
     else {
       std::fprintf(stderr,
                    "usage: %s --model DIR [--plugin SO] [--frames N] "
-                   "[--input frame.raw] "
+                   "[--input frame.raw] [--pipeline N] "
                    "[--source synthetic|N|/dev/videoN|frames.raw]\n",
                    argv[0]);
       return 2;
@@ -216,12 +228,44 @@ int main(int argc, char** argv) {
       frame_source = fpc::OpenSource(source);
     }
 
-    double total_s = 0.0;
     long total_matches = 0;
     int done = 0;
     // device-resident keyframe state (fed back without host round trips)
     fpc::DeviceBuffer key_desc_dev = rt.Upload(key_desc);
     fpc::DeviceBuffer key_valid_dev = rt.Upload(key_valid);
+
+    // One frame in flight: uploaded + executed + fetches started, retire
+    // (await) deferred so the next frame's round trips overlap.  The output
+    // buffers must outlive the pending fetches.
+    struct InFlight {
+      int index = 0;
+      std::vector<fpc::DeviceBuffer> outs;
+      fpc::PjrtRuntime::PendingFetch valid_fetch, match_fetch;
+      std::chrono::steady_clock::time_point issued;
+    };
+    std::deque<InFlight> in_flight;
+    const int depth = pipeline < 1 ? 1 : pipeline;
+
+    auto retire = [&](InFlight& fl) {
+      fpc::HostArray valid = rt.WaitFetch(fl.valid_fetch);
+      fpc::HostArray match_valid = rt.WaitFetch(fl.match_fetch);
+      auto s1 = std::chrono::steady_clock::now();
+      long n_kp = 0, n_match = 0;
+      for (long i = 0; i < k; ++i) {
+        n_kp += valid.pred()[i] != 0;
+        n_match += match_valid.pred()[i] != 0;
+      }
+      if (fl.index > 0) total_matches += n_match;
+      if (fl.index < 3 || fl.index + 1 == frames) {
+        std::printf(
+            "[serve] frame %3d: keypoints=%4ld matches=%4ld (latency %.2f ms)\n",
+            fl.index, n_kp, n_match,
+            1e3 * std::chrono::duration<double>(s1 - fl.issued).count());
+      }
+      done = fl.index + 1;
+    };
+
+    std::chrono::steady_clock::time_point steady_t0;
     for (int f = 0; f < frames; ++f) {
       if (frame_source &&
           !frame_source->GetFrame(image.f32(), static_cast<int>(h),
@@ -229,41 +273,52 @@ int main(int argc, char** argv) {
         std::printf("[serve] frame source exhausted after %d frames\n", f);
         break;
       }
-      auto s0 = std::chrono::steady_clock::now();
+      InFlight fl;
+      fl.index = f;
+      fl.issued = std::chrono::steady_clock::now();
+      // Upload copies out of `image` before returning, so the single host
+      // staging array is safely reused next iteration.
       fpc::DeviceBuffer image_dev = rt.Upload(image);
-      auto outs = rt.Execute({image_dev.get(), key_desc_dev.get(),
-                              key_valid_dev.get()});
+      fl.outs = rt.Execute({image_dev.get(), key_desc_dev.get(),
+                            key_valid_dev.get()});
       // fetch only what the host needs: valid (3) and match_valid (5)
-      fpc::HostArray valid = rt.ToHost(outs[3], out_specs[3]);
-      fpc::HostArray match_valid = rt.ToHost(outs[5], out_specs[5]);
-      auto s1 = std::chrono::steady_clock::now();
+      fl.valid_fetch = rt.StartToHost(fl.outs[3], out_specs[3]);
+      fl.match_fetch = rt.StartToHost(fl.outs[5], out_specs[5]);
 
-      long n_kp = 0, n_match = 0;
-      for (long i = 0; i < k; ++i) {
-        n_kp += valid.pred()[i] != 0;
-        n_match += match_valid.pred()[i] != 0;
-      }
       if (f == 0) {
-        // first frame becomes the keyframe — its descriptors/validity stay
-        // on device (the reference copies descriptors out per frame,
-        // superpoint.cc:98-152)
-        key_desc_dev = std::move(outs[6]);
-        key_valid_dev = std::move(outs[3]);
-      } else {
-        total_s += std::chrono::duration<double>(s1 - s0).count();
-        total_matches += n_match;
+        // First frame becomes the keyframe — its descriptors/validity are
+        // fed back as device buffers (futures: later executes chain on them
+        // without any host round trip; the reference copies descriptors out
+        // per frame, superpoint.cc:98-152).  Retired synchronously so the
+        // steady-state clock starts clean.
+        key_desc_dev = std::move(fl.outs[6]);
+        // keep outs[3] alive in `fl` (the pending fetch reads it) but hand
+        // a non-owning alias to later executes is not possible with the
+        // RAII wrapper — retire first, then take ownership.
+        retire(fl);
+        key_valid_dev = std::move(fl.outs[3]);
+        steady_t0 = std::chrono::steady_clock::now();
+        continue;
       }
-      if (f < 3 || f + 1 == frames) {
-        std::printf("[serve] frame %3d: keypoints=%4ld matches=%4ld (%.2f ms)\n",
-                    f, n_kp, n_match,
-                    1e3 * std::chrono::duration<double>(s1 - s0).count());
+      in_flight.push_back(std::move(fl));
+      while (static_cast<int>(in_flight.size()) >= depth) {
+        retire(in_flight.front());
+        in_flight.pop_front();
       }
-      done = f + 1;
+    }
+    while (!in_flight.empty()) {
+      retire(in_flight.front());
+      in_flight.pop_front();
     }
     if (done > 1) {
-      std::printf("[serve] steady-state: %.1f FPS, mean matches %.1f\n",
-                  (done - 1) / total_s,
-                  static_cast<double>(total_matches) / (done - 1));
+      double steady_s = std::chrono::duration<double>(
+                            std::chrono::steady_clock::now() - steady_t0)
+                            .count();
+      std::printf(
+          "[serve] steady-state: %.1f FPS (pipeline depth %d), "
+          "mean matches %.1f\n",
+          (done - 1) / steady_s, depth,
+          static_cast<double>(total_matches) / (done - 1));
     }
   } catch (const std::exception& e) {
     std::fprintf(stderr, "[serve] FATAL: %s\n", e.what());

@@ -9,7 +9,9 @@ keyframe, draw matches + FPS.  Differences:
 * works headless (``--source synthetic``, ``--max-frames N``, no window) so
   the loop is testable/benchable without a webcam or display.
 
-Keys (with a window): q quit, s set keyframe, b toggle blur.
+Keys (with a window): q quit, s set keyframe, b toggle blur, t export the
+serving program (the reference's 't' is a commented-out TorchScript trace,
+`inference.py:63-65`; here it actually exports a PJRT bundle).
 """
 
 from __future__ import annotations
@@ -120,6 +122,10 @@ def run_demo(
                 key_kp, key_desc = kp, desc
             if k == ord("b"):
                 do_blur = not do_blur
+            if k == ord("t"):
+                out = "export_live"
+                frontend.export_pjrt(out, (height, width))
+                print(f"Model saved to {out}/, 't' pressed.")
         if max_frames and frames >= max_frames:
             break
 
