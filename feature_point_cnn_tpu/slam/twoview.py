@@ -125,18 +125,24 @@ def ransac_homography(
     best = jnp.argmax(counts)
     h_best = hs[best]
 
-    # refit on the best hypothesis's inliers (weighted DLT)
+    # local optimization (LO-RANSAC): iterate refit-on-inliers from the best
+    # minimal hypothesis, keeping the iterate with the most inliers.  Each
+    # round is a weighted DLT over the current inlier set; fixed trip count
+    # keeps it one XLA program.
     err = _sym_transfer_error(h_best, p1, p2)
     inl = (err <= inlier_thresh) & valid
-    h_refit = _dlt_homography(p1, p2, inl.astype(jnp.float32))
-    err2 = _sym_transfer_error(h_refit, p1, p2)
-    inl2 = (err2 <= inlier_thresh) & valid
-    # keep the refit only if it didn't lose inliers (degenerate sets)
-    better = jnp.sum(inl2) >= jnp.sum(inl)
-    h_out = jnp.where(better, h_refit, h_best)
-    inl_out = jnp.where(better, inl2, inl)
+    h_out, inl_out, n_out = h_best, inl, jnp.sum(inl)
+    for _ in range(3):
+        h_refit = _dlt_homography(p1, p2, inl_out.astype(jnp.float32))
+        err2 = _sym_transfer_error(h_refit, p1, p2)
+        inl2 = (err2 <= inlier_thresh) & valid
+        n2 = jnp.sum(inl2)
+        better = n2 >= n_out  # ties advance too: same count, lower residual
+        h_out = jnp.where(better, h_refit, h_out)
+        inl_out = jnp.where(better, inl2, inl_out)
+        n_out = jnp.where(better, n2, n_out)
     return TwoViewEstimate(
-        h_flat=h_out, inliers=inl_out, num_inliers=jnp.sum(inl_out)
+        h_flat=h_out, inliers=inl_out, num_inliers=n_out
     )
 
 
