@@ -114,6 +114,21 @@ class SuperPointConfig:
                                       # skip-nonfinite steps this replaces the
                                       # reference's GradScaler safety net
     epochs: int = 100
+    microbatch_steps: int = 1         # lax.scan microbatching INSIDE the
+                                      # jitted step: each batch splits into k
+                                      # sequential microbatches (grads
+                                      # averaged, BN stats threaded), cutting
+                                      # activation memory ~k-fold — the true
+                                      # equivalent of the reference's
+                                      # batch_size_divider (settings.py:19,
+                                      # basetrainer.py:133-166).  Contrast
+                                      # grad_accum_steps (optax.MultiSteps),
+                                      # which accumulates across FULL batches
+                                      # and saves no memory.
+    eval_max_items: int = 1000        # cap on per-epoch eval items, matching
+                                      # the reference's SuperPoint test-split
+                                      # cap (`superpointtrainer.py:11`);
+                                      # 0 = evaluate the full test split
 
     # --- numerics: bf16 compute replaces AMP + GradScaler
     # (basetrainer.py:48,105-119); no loss scaling needed on TPU ---

@@ -45,7 +45,13 @@ def build_parser() -> argparse.ArgumentParser:
     tr = sub.add_parser("train")
     tr.add_argument("--checkpoint-path", default="checkpoints")
     tr.add_argument("--batch-size", type=int, default=cfg.batch_size)
-    tr.add_argument("--grad-accum-steps", type=int, default=1)
+    tr.add_argument("--grad-accum-steps", type=int, default=1,
+                    help="optax.MultiSteps accumulation across FULL batches")
+    tr.add_argument("--microbatch-steps", type=int, default=1,
+                    help="lax.scan microbatching inside the jitted step -- "
+                         "splits each batch into k sequential microbatches, "
+                         "cutting activation memory ~k-fold (the reference's "
+                         "batch_size_divider, settings.py:19)")
     tr.add_argument("--epochs", type=int, default=cfg.epochs)
     tr.add_argument("--magic-point", action="store_true")
     tr.add_argument("--synthetic-path")
@@ -81,6 +87,7 @@ def config_from_args(opt) -> SuperPointConfig:
         cfg = cfg.replace(
             batch_size=opt.batch_size,
             grad_accum_steps=opt.grad_accum_steps,
+            microbatch_steps=opt.microbatch_steps,
             epochs=opt.epochs,
             photometric_augment=opt.photometric_augment,
         )

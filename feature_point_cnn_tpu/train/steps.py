@@ -61,6 +61,37 @@ def _grad_norms(grads) -> Dict[str, jnp.ndarray]:
     }
 
 
+def _microbatched_value_and_grad(micro_loss_fn, params, batch_stats, data, k):
+    """``lax.scan`` over ``k`` microbatches of ``data`` (leading axis split
+    ``B -> (k, B//k)``): per-microbatch ``value_and_grad`` at the SAME params,
+    gradients and losses averaged, BatchNorm statistics threaded sequentially
+    — exactly the reference's ``batch_size_divider`` accumulation semantics
+    (`basetrainer.py:133-166`) but inside one XLA program, with peak
+    activation memory of a single microbatch.
+
+    ``micro_loss_fn(params, batch_stats, micro) -> (loss, (new_stats, aux))``.
+    Returns ``(mean_loss, final_stats, stacked_aux, mean_grads)``.
+    """
+    split = jax.tree_util.tree_map(
+        lambda x: x.reshape((k, x.shape[0] // k) + x.shape[1:]), data
+    )
+    grad_fn = jax.value_and_grad(micro_loss_fn, has_aux=True)
+
+    def body(carry, micro):
+        stats, gsum, lsum = carry
+        (loss, (new_stats, aux)), grads = grad_fn(params, stats, micro)
+        gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
+        return (new_stats, gsum, lsum + loss), aux
+
+    zero = jax.tree_util.tree_map(jnp.zeros_like, params)
+    (stats, gsum, lsum), aux = jax.lax.scan(
+        body, (batch_stats, zero, jnp.zeros(())), split
+    )
+    inv_k = 1.0 / k
+    grads = jax.tree_util.tree_map(lambda g: g * inv_k, gsum)
+    return lsum * inv_k, stats, aux, grads
+
+
 class TrainState(struct.PyTreeNode):
     step: jnp.ndarray
     params: Any
@@ -112,18 +143,26 @@ def magicpoint_train_step(
         batch["points"], batch["points_valid"], key, h, w, config.cell
     )
 
-    def loss_fn(params):
-        (prob, _, logits), new_stats = _apply(
-            model, params, state.batch_stats, images, True, False
+    def micro_loss(params, stats, micro):
+        (_, _, logits), new_stats = _apply(
+            model, params, stats, micro["images"], True, False
         )
         loss = detector_loss(
-            logits, labels, None, config.cell, config.detector_loss
+            logits, micro["labels"], None, config.cell, config.detector_loss
         )
         return loss, (new_stats, logits)
 
-    (loss, (new_stats, logits)), grads = jax.value_and_grad(
-        loss_fn, has_aux=True
-    )(state.params)
+    k = config.microbatch_steps
+    if k > 1:
+        loss, new_stats, logits_k, grads = _microbatched_value_and_grad(
+            micro_loss, state.params, state.batch_stats,
+            {"images": images, "labels": labels}, k,
+        )
+        logits = logits_k.reshape((-1,) + logits_k.shape[2:])
+    else:
+        (loss, (new_stats, logits)), grads = jax.value_and_grad(
+            micro_loss, has_aux=True
+        )(state.params, state.batch_stats, {"images": images, "labels": labels})
     updates, new_opt = tx.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     metrics = {
@@ -195,27 +234,39 @@ def superpoint_train_step(
     homo_config: HomographyConfig = HomographyConfig(),
 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     images = batch["image"]
-    b = images.shape[0]
     warped, labels, wlabels, cell_mask, homog, images = _augment_and_encode(
         batch, key, config, homo_config
     )
-    both = jnp.concatenate([images, warped], axis=0)           # (2B, H, W, C)
+    data = {
+        "images": images, "warped": warped, "labels": labels,
+        "wlabels": wlabels, "cell_mask": cell_mask, "homog": homog,
+    }
 
-    def loss_fn(params):
+    def micro_loss(params, stats, m):
+        mb = m["images"].shape[0]
+        both = jnp.concatenate([m["images"], m["warped"]], axis=0)  # (2b,...)
         (_, desc2, logits2), new_stats = _apply(
-            model, params, state.batch_stats, both, True, True
+            model, params, stats, both, True, True
         )
-        logits, wlogits = logits2[:b], logits2[b:]
-        desc, wdesc = desc2[:b], desc2[b:]
         losses = global_loss(
-            logits, labels, wlogits, wlabels, desc, wdesc, homog,
-            cell_mask, config,
+            logits2[:mb], m["labels"], logits2[mb:], m["wlabels"],
+            desc2[:mb], desc2[mb:], m["homog"], m["cell_mask"], config,
         )
-        return losses["total"], (new_stats, losses, logits)
+        return losses["total"], (new_stats, (losses, logits2[:mb]))
 
-    (loss, (new_stats, losses, logits)), grads = jax.value_and_grad(
-        loss_fn, has_aux=True
-    )(state.params)
+    k = config.microbatch_steps
+    if k > 1:
+        loss, new_stats, (losses_k, logits_k), grads = (
+            _microbatched_value_and_grad(
+                micro_loss, state.params, state.batch_stats, data, k
+            )
+        )
+        losses = jax.tree_util.tree_map(jnp.mean, losses_k)
+        logits = logits_k.reshape((-1,) + logits_k.shape[2:])
+    else:
+        (loss, (new_stats, (losses, logits))), grads = jax.value_and_grad(
+            micro_loss, has_aux=True
+        )(state.params, state.batch_stats, data)
     updates, new_opt = tx.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     metrics = {

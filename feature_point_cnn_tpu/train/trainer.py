@@ -289,7 +289,14 @@ class Trainer:
             return {}
         sums: Dict[str, float] = {}
         n = 0
+        # Cap eval items per epoch like the reference's test-split cap
+        # (`superpointtrainer.py:11` limits SuperPoint test to 1000 items).
+        max_batches = 0
+        if self.config.eval_max_items:
+            max_batches = -(-self.config.eval_max_items // self.config.batch_size)
         for i, batch in enumerate(self.test_loader.epoch(0)):
+            if max_batches and i >= max_batches:
+                break
             batch = shard_batch(batch, self.mesh)
             metrics = self._eval_step(self.state, batch, self._key(10_000 + epoch, i))
             for k, v in metrics.items():

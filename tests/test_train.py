@@ -218,3 +218,125 @@ def test_lr_schedule_warmup_cosine():
     assert make_schedule(cfg2, total_steps=100) == 1e-3
     # no total steps -> constant
     assert make_schedule(cfg, total_steps=None) == 1e-3
+
+
+def test_scan_microbatching_matches_sequential(rng):
+    """The scan accumulator must reproduce sequential per-microbatch
+    value_and_grad at the SAME params with averaged grads/losses and
+    threaded BN stats — the reference's batch_size_divider semantics
+    (basetrainer.py:133-166).  Grads are compared directly (a full optimizer
+    step would let Adam sign-flip near-zero updates on accumulation-order
+    float noise)."""
+    from feature_point_cnn_tpu.ops.labels import make_points_labels_batch
+    from feature_point_cnn_tpu.train.loss import detector_loss
+
+    model, variables = init_superpoint(jax.random.PRNGKey(0), CFG)
+    params, stats0 = variables["params"], variables["batch_stats"]
+    imgs = jnp.asarray(rng.random((4, 48, 64, 3)), jnp.float32)
+    pts = jnp.asarray(rng.random((4, 8, 2)) * [47, 63], jnp.float32)
+    labels = make_points_labels_batch(
+        pts, jnp.ones((4, 8), bool), jax.random.PRNGKey(3), 48, 64, CFG.cell
+    )
+
+    def micro_loss(p, stats, m):
+        out, mut = model.apply(
+            {"params": p, "batch_stats": stats}, m["images"], train=True,
+            enable_descriptor=False, mutable=["batch_stats"],
+        )
+        loss = detector_loss(out[2], m["labels"], None, CFG.cell, "ce")
+        return loss, (mut["batch_stats"], out[2])
+
+    data = {"images": imgs, "labels": labels}
+    # jit BOTH paths: eager-vs-compiled CPU convs differ at ~1e-3 rel, which
+    # would mask real semantic differences (measured; jit-vs-jit agrees to
+    # float noise)
+    helper = jax.jit(
+        lambda p, s, d: S._microbatched_value_and_grad(micro_loss, p, s, d, 2)
+    )
+    loss_k, stats_k, logits_k, grads_k = helper(params, stats0, data)
+
+    def sequential(p, stats, d):
+        gfn = jax.value_and_grad(micro_loss, has_aux=True)
+        (l1, (s1, lg1)), g1 = gfn(
+            p, stats, {"images": d["images"][:2], "labels": d["labels"][:2]}
+        )
+        (l2, (s2, lg2)), g2 = gfn(
+            p, s1, {"images": d["images"][2:], "labels": d["labels"][2:]}
+        )
+        ref = jax.tree_util.tree_map(lambda a, b: (a + b) / 2.0, g1, g2)
+        return (l1 + l2) / 2.0, s2, jnp.concatenate([lg1, lg2]), ref
+
+    loss_r, stats_r, logits_r, grads_r = jax.jit(sequential)(
+        params, stats0, data
+    )
+
+    np.testing.assert_allclose(float(loss_k), float(loss_r), rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        ),
+        grads_k, grads_r,
+    )
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        ),
+        stats_k, stats_r,
+    )
+    # stacked aux restores the full-batch order
+    np.testing.assert_allclose(
+        np.asarray(logits_k.reshape((-1,) + logits_k.shape[2:])),
+        np.asarray(logits_r), rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_microbatched_steps_run(rng):
+    """End-to-end: both phase steps run finite with microbatch_steps=2 and
+    move parameters."""
+    cfg = CFG.replace(microbatch_steps=2)
+    model, variables = init_superpoint(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer(cfg, variables["params"])
+    state = S.create_train_state(variables, tx)
+    batch = {
+        "image": jnp.asarray(rng.random((4, 48, 64, 3)), jnp.float32),
+        "points": jnp.asarray(rng.random((4, 8, 2)) * [47, 63], jnp.float32),
+        "points_valid": jnp.ones((4, 8), bool),
+    }
+    s_mp, m_mp = S.magicpoint_train_step(
+        state, batch, jax.random.PRNGKey(1), model=model, tx=tx, config=cfg
+    )
+    s_sp, m_sp = S.superpoint_train_step(
+        state, batch, jax.random.PRNGKey(1),
+        model=model, tx=tx, config=cfg, homo_config=HOMO,
+    )
+    assert np.isfinite(float(m_mp["loss"]))
+    assert np.isfinite(float(m_sp["loss"]))
+    moved = jax.tree_util.tree_map(
+        lambda a, b: not np.allclose(np.asarray(a), np.asarray(b)),
+        state.params["encoder"], s_sp.params["encoder"],
+    )
+    assert any(jax.tree_util.tree_leaves(moved))
+
+
+def test_eval_cap_limits_batches(tiny_dataset):
+    """eval_max_items caps per-epoch eval like the reference's 1000-item
+    test-split cap (superpointtrainer.py:11)."""
+    cfg = CFG.replace(eval_max_items=4, epochs=1)  # 4 items = 1 batch of 4
+    train, test = _loaders(tiny_dataset)
+    seen = []
+    orig_epoch = test.epoch
+
+    def counting_epoch(e):
+        for b in orig_epoch(e):
+            seen.append(1)
+            yield b
+
+    test.epoch = counting_epoch
+    tr = Trainer(
+        cfg, "magicpoint", train, test,
+        checkpoint_dir=str(tiny_dataset / "ckpt_evalcap"),
+        write_statistics=False,
+    )
+    out = tr.evaluate(0)
+    assert len(seen) <= 2  # generator may be pulled once past the cap
+    assert np.isfinite(out["loss"])
