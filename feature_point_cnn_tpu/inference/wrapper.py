@@ -76,7 +76,14 @@ def load_variables(
     config: SuperPointConfig, checkpoint_dir: str
 ) -> Tuple[int, dict]:
     """Latest trainer checkpoint -> inference variables
-    (`saveutils.py:6-18` equivalent)."""
+    (`saveutils.py:6-18` equivalent).  Accepts either an orbax checkpoint
+    directory or a portable single-file ``.npz`` snapshot
+    (`utils/weights.py`)."""
+    if str(checkpoint_dir).endswith(".npz"):
+        from feature_point_cnn_tpu.utils.weights import load_weights
+
+        raw = load_weights(checkpoint_dir)
+        return 0, {"params": raw["params"], "batch_stats": raw["batch_stats"]}
     step, raw = ckpt.restore_latest_raw(ckpt.checkpoint_manager(checkpoint_dir))
     if step is None:
         raise FileNotFoundError(f"no checkpoint under {checkpoint_dir}")

@@ -73,6 +73,10 @@ def build_parser() -> argparse.ArgumentParser:
     ex = sub.add_parser("export")
     ex.add_argument("--weights-path", required=True)
     ex.add_argument("--out", default="superpoint_extract.shlo")
+    ex.add_argument("--raw-weights", default=None,
+                    help="also write a portable single-file .npz weight "
+                         "snapshot (utils/weights.py) — git-committable, "
+                         "loadable anywhere --weights-path is accepted")
     return p
 
 
@@ -128,9 +132,13 @@ def main(argv=None) -> None:
     elif opt.run_mode == "export":
         from feature_point_cnn_tpu.inference.wrapper import SuperPointFrontend
 
-        SuperPointFrontend(cfg, checkpoint_dir=opt.weights_path).export_stablehlo(
-            opt.out, (opt.H, opt.W)
-        )
+        frontend = SuperPointFrontend(cfg, checkpoint_dir=opt.weights_path)
+        frontend.export_stablehlo(opt.out, (opt.H, opt.W))
+        if opt.raw_weights:
+            from feature_point_cnn_tpu.utils.weights import save_weights
+
+            save_weights(opt.raw_weights, frontend.variables)
+            print(f"[export] raw weights -> {opt.raw_weights}")
 
     elif opt.run_mode == "train":
         from feature_point_cnn_tpu.train.trainer import Trainer

@@ -129,3 +129,33 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_portable_weights_roundtrip(tmp_path):
+    """save_weights -> load_weights restores the exact variables pytree, and
+    SuperPointFrontend accepts the .npz path wherever a checkpoint dir goes."""
+    import numpy as np
+    import jax
+
+    from feature_point_cnn_tpu.config import SuperPointConfig
+    from feature_point_cnn_tpu.inference.wrapper import load_variables
+    from feature_point_cnn_tpu.models.superpoint import init_superpoint
+    from feature_point_cnn_tpu.utils.weights import load_weights, save_weights
+
+    cfg = SuperPointConfig(train_image_size=(48, 64))
+    _, variables = init_superpoint(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "model.npz")
+    save_weights(path, variables)
+
+    restored = load_weights(path)
+    assert (
+        jax.tree_util.tree_structure(restored)
+        == jax.tree_util.tree_structure(jax.tree_util.tree_map(np.asarray, variables))
+    )
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        variables, restored,
+    )
+
+    step, loaded = load_variables(cfg, path)
+    assert step == 0 and set(loaded) == {"params", "batch_stats"}
