@@ -63,6 +63,11 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--photometric-augment", action="store_true",
                     help="on-device photometric augmentation during "
                          "training (noise/blur/contrast; data/photometric.py)")
+    tr.add_argument("--snapshot-path", default=None,
+                    help="write a portable single-file .npz weight snapshot "
+                         "(utils/weights.py) here after EVERY epoch save — "
+                         "git-committable insurance against environment "
+                         "resets destroying the orbax checkpoint dir")
     tr.add_argument("--data-placement", default="auto",
                     choices=("auto", "device", "host"),
                     help="'device' keeps the whole packed dataset resident "
@@ -88,6 +93,11 @@ def config_from_args(opt) -> SuperPointConfig:
         max_keypoints=opt.max_keypoints,
     )
     if opt.run_mode == "train":
+        if opt.batch_size % opt.microbatch_steps != 0:
+            raise SystemExit(
+                f"--batch-size {opt.batch_size} must be divisible by "
+                f"--microbatch-steps {opt.microbatch_steps}"
+            )
         cfg = cfg.replace(
             batch_size=opt.batch_size,
             grad_accum_steps=opt.grad_accum_steps,
@@ -155,6 +165,7 @@ def main(argv=None) -> None:
                 cfg, "magicpoint", train, test,
                 checkpoint_dir=opt.checkpoint_path,
                 write_statistics=write_stats,
+                snapshot_path=opt.snapshot_path,
             ).train()
         elif opt.coco_path and opt.generate_points:
             print("Self-labeling COCO with homography adaptation...")
@@ -171,6 +182,7 @@ def main(argv=None) -> None:
                 cfg, "magicpoint", train, test,
                 checkpoint_dir=opt.checkpoint_path,
                 write_statistics=write_stats,
+                snapshot_path=opt.snapshot_path,
             ).train()
         elif opt.coco_path:
             print("SuperPoint joint training...")
@@ -181,6 +193,7 @@ def main(argv=None) -> None:
                 checkpoint_dir=opt.checkpoint_path,
                 magicpoint_checkpoint_dir=opt.magic_point_weights,
                 write_statistics=write_stats,
+                snapshot_path=opt.snapshot_path,
             ).train()
         else:
             raise SystemExit(

@@ -71,9 +71,24 @@ def _microbatched_value_and_grad(micro_loss_fn, params, batch_stats, data, k):
 
     ``micro_loss_fn(params, batch_stats, micro) -> (loss, (new_stats, aux))``.
     Returns ``(mean_loss, final_stats, stacked_aux, mean_grads)``.
+
+    Sharding note: under the data-parallel mesh the batch axis is sharded
+    over devices.  The split is STRIDED — microbatch ``i`` takes items
+    ``[i, i+k, i+2k, ...]`` via ``(B,) -> (B//k, k) -> swap -> (k, B//k)`` —
+    so the sharded leading axis shrinks ``B -> B//k`` in place (still
+    divisible across devices) and every microbatch stays evenly sharded.  A
+    contiguous ``(k, B//k)`` split would put each microbatch on a SUBSET of
+    devices and force GSPMD all-to-alls every scan iteration.
     """
+    b = jax.tree_util.tree_leaves(data)[0].shape[0]
+    if b % k != 0:
+        raise ValueError(
+            f"batch size {b} is not divisible by microbatch_steps={k}; "
+            f"pick --microbatch-steps dividing --batch-size"
+        )
     split = jax.tree_util.tree_map(
-        lambda x: x.reshape((k, x.shape[0] // k) + x.shape[1:]), data
+        lambda x: x.reshape((x.shape[0] // k, k) + x.shape[1:]).swapaxes(0, 1),
+        data,
     )
     grad_fn = jax.value_and_grad(micro_loss_fn, has_aux=True)
 

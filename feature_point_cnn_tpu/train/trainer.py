@@ -55,6 +55,7 @@ class Trainer:
         n_devices: Optional[int] = None,
         write_statistics: bool = True,
         log_every: int = 50,
+        snapshot_path: Optional[str] = None,
     ):
         assert phase in ("magicpoint", "superpoint"), phase
         self.config = config
@@ -64,6 +65,7 @@ class Trainer:
         self.homo_config = homo_config
         self.base_key = jax.random.PRNGKey(seed)
         self.log_every = log_every
+        self.snapshot_path = snapshot_path
 
         self.mesh = make_mesh(n_devices, batch_size=train_loader.batch_size)
         self.model, variables = init_superpoint(
@@ -289,10 +291,13 @@ class Trainer:
             return {}
         sums: Dict[str, float] = {}
         n = 0
-        # Cap eval items per epoch like the reference's test-split cap
-        # (`superpointtrainer.py:11` limits SuperPoint test to 1000 items).
+        # Cap eval items per epoch like the reference's test-split cap —
+        # which applies ONLY to the SuperPoint phase
+        # (`superpointtrainer.py:11` limits its test split to 1000 items);
+        # the reference's MagicPoint eval runs the full synthetic test split,
+        # so the cap is not applied for that phase.
         max_batches = 0
-        if self.config.eval_max_items:
+        if self.config.eval_max_items and self.phase == "superpoint":
             max_batches = -(-self.config.eval_max_items // self.config.batch_size)
         for i, batch in enumerate(self.test_loader.epoch(0)):
             if max_batches and i >= max_batches:
@@ -310,6 +315,20 @@ class Trainer:
     def save(self, epoch: int) -> None:
         host_state = jax.device_get(self.state)
         ckpt.save_state(self.manager, epoch, host_state)
+        if self.snapshot_path:
+            # portable, git-committable single-file snapshot refreshed every
+            # epoch — environment resets destroy orbax checkpoint dirs, so a
+            # snapshot inside the repo is the durable artifact (RESULTS.md
+            # "Artifact persistence")
+            from feature_point_cnn_tpu.utils.weights import save_weights
+
+            save_weights(
+                self.snapshot_path,
+                {
+                    "params": host_state.params,
+                    "batch_stats": host_state.batch_stats,
+                },
+            )
 
     def train(self, epochs: Optional[int] = None) -> None:
         """Train up to ``epochs`` TOTAL epochs (counting restored ones) —

@@ -25,13 +25,23 @@ import jax
 def _flatten(variables) -> Dict[str, np.ndarray]:
     flat = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(variables)[0]:
-        key = "/".join(str(getattr(k, "key", k)) for k in path)
-        flat[key] = np.asarray(leaf)
+        parts = [str(getattr(k, "key", k)) for k in path]
+        for p in parts:
+            if "/" in p:
+                # '/' is the flat-key separator; a module name containing it
+                # would silently corrupt the round-trip
+                raise ValueError(f"tree path component contains '/': {p!r}")
+        flat["/".join(parts)] = np.asarray(leaf)
     return flat
 
 
 def save_weights(path: str, variables: dict) -> None:
     """Write ``variables`` (params + batch_stats pytree) to one ``.npz``."""
+    for top in ("params", "batch_stats"):
+        if top not in variables:
+            raise ValueError(
+                f"variables missing {top!r} collection; got {sorted(variables)}"
+            )
     np.savez_compressed(path, **_flatten(variables))
 
 
@@ -45,4 +55,10 @@ def load_weights(path: str) -> dict:
             for p in parts[:-1]:
                 node = node.setdefault(p, {})
             node[parts[-1]] = data[key]
+    for top in ("params", "batch_stats"):
+        if top not in out:
+            raise ValueError(
+                f"{path} is not a weights snapshot: missing {top!r} "
+                f"(top-level keys: {sorted(out)})"
+            )
     return out
