@@ -31,26 +31,62 @@ import numpy as np
 
 # In-env seed photo locations.  Processed/binary duplicates of the pygame
 # webcam scene (mask/thresh variants) are excluded — near-duplicate binary
-# frames add no texture diversity.
+# frames add no texture diversity.  Round-3 expansion: real material-photo
+# textures shipped with simulation packages (wood/marble/tile/metal/skin/
+# grass/foil surfaces) and scene montages — ~30 additional distinct sources.
+_SP = "/opt/venv/lib/python3.12/site-packages"
 DEFAULT_PATTERNS = (
-    "/opt/venv/lib/python3.12/site-packages/sklearn/datasets/images/*.jpg",
-    "/opt/venv/lib/python3.12/site-packages/matplotlib/mpl-data/sample_data/grace_hopper.jpg",
-    "/opt/venv/lib/python3.12/site-packages/pygame/docs/generated/_images/*.jpg",
-    "/opt/venv/lib/python3.12/site-packages/pygame/docs/generated/_images/*.png",
-    "/opt/venv/lib/python3.12/site-packages/pygame/examples/data/*.jpg",
+    f"{_SP}/sklearn/datasets/images/*.jpg",
+    f"{_SP}/matplotlib/mpl-data/sample_data/grace_hopper.jpg",
+    f"{_SP}/pygame/docs/generated/_images/*.jpg",
+    f"{_SP}/pygame/docs/generated/_images/*.png",
+    f"{_SP}/pygame/examples/data/*.jpg",
+    # real photographed material surfaces (kitchen/adroit assets)
+    f"{_SP}/gymnasium_robotics/envs/assets/kitchen_franka/kitchen_assets/textures/*.png",
+    f"{_SP}/gymnasium_robotics/envs/assets/adroit_hand/resources/textures/*.png",
+    # natural outdoor surfaces + montages
+    f"{_SP}/dm_control/locomotion/arenas/assets/outdoor_natural/*.png",
+    f"{_SP}/dm_control/suite/dog_assets/*.png",
+    f"{_SP}/dm_control/suite/all_domains.png",
+    f"{_SP}/dm_control/locomotion/soccer/soccer.png",
+    f"{_SP}/dm_control/locomotion/soccer/assets/pitch/pitch_xs.png",
+    f"{_SP}/dm_control/blender/mujoco_exporter/doc/*.png",
+    # labmaze wall/floor surface photos; color-recolor variants of the same
+    # texture are collapsed by the grayscale dedup below
+    f"{_SP}/labmaze/assets/style_*/*_d.png",
 )
 _EXCLUDE_SUBSTRINGS = ("mask", "thresh", "_lofi", "_logo", "logo2")
 MIN_SOURCE_HW = 160
+# sources whose grayscale correlation with an already-kept source exceeds
+# this are dropped (labmaze ships the same surface recolored per style —
+# in grayscale those are near-identical and would leak train<->test)
+_DEDUP_CORR = 0.9
+
+
+def _gray_signature(img: np.ndarray, size: int = 48) -> np.ndarray:
+    """Normalized downsampled grayscale signature for near-duplicate checks
+    (invariant to recoloring and mild brightness shifts)."""
+    import cv2
+
+    g = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY).astype(np.float32)
+    g = cv2.resize(g, (size, size), interpolation=cv2.INTER_AREA)
+    g -= g.mean()
+    n = np.linalg.norm(g)
+    return g / n if n > 0 else g
 
 
 def collect_source_images(
     patterns: Sequence[str] = DEFAULT_PATTERNS,
     min_hw: int = MIN_SOURCE_HW,
 ) -> List[np.ndarray]:
-    """Load every usable seed image as ``(H, W, 3)`` uint8 RGB."""
+    """Load every usable seed image as ``(H, W, 3)`` uint8 RGB, dropping
+    near-duplicates (grayscale correlation > ``_DEDUP_CORR`` with an
+    already-kept source — recolored texture variants leak between the
+    source-partitioned train/test splits otherwise)."""
     from PIL import Image
 
     out: List[np.ndarray] = []
+    sigs: List[np.ndarray] = []
     for pattern in patterns:
         for path in sorted(glob.glob(pattern)):
             name = Path(path).name.lower()
@@ -62,7 +98,12 @@ def collect_source_images(
                 continue
             if img.width < min_hw or img.height < min_hw:
                 continue
-            out.append(np.asarray(img))
+            arr = np.asarray(img)
+            sig = _gray_signature(arr)
+            if any(abs(float((sig * s).sum())) > _DEDUP_CORR for s in sigs):
+                continue
+            out.append(arr)
+            sigs.append(sig)
     return out
 
 
@@ -125,19 +166,20 @@ def _textured_crop(
     rng: np.random.Generator,
     srcs: List[np.ndarray],
     out_hw: Tuple[int, int],
-) -> np.ndarray:
+) -> Tuple[np.ndarray, int]:
     """Sample crops until one clears the texture floor (best-of-N fallback
-    so all-flat sources cannot loop forever)."""
-    best, best_e = None, -1.0
+    so all-flat sources cannot loop forever).  Returns ``(crop, source
+    index within srcs)`` so evals can group held-out items by source."""
+    best, best_e, best_j = None, -1.0, -1
     for _ in range(_CROP_ATTEMPTS):
-        src = srcs[int(rng.integers(0, len(srcs)))]
-        crop = _random_crop(rng, src, out_hw)
+        j = int(rng.integers(0, len(srcs)))
+        crop = _random_crop(rng, srcs[j], out_hw)
         e = _texture_energy(crop)
         if e > best_e:
-            best, best_e = crop, e
+            best, best_e, best_j = crop, e, j
         if e >= MIN_TEXTURE_ENERGY:
             break
-    return best
+    return best, best_j
 
 
 def build_corpus(
@@ -166,21 +208,27 @@ def build_corpus(
     train_src = [sources[i] for i in order[n_test_src:]]
 
     counts = []
-    for split, srcs, n_items in (
-        ("train2014", train_src, train_size),
-        ("test2014", test_src, test_size),
+    manifest = {"n_sources": len(sources)}
+    for split, srcs, src_ids, n_items in (
+        ("train2014", train_src, [int(i) for i in order[n_test_src:]], train_size),
+        ("test2014", test_src, [int(i) for i in order[:n_test_src]], test_size),
     ):
         split_dir = Path(out_dir, split)
         split_dir.mkdir(parents=True, exist_ok=True)
         for i in range(n_items):
-            crop = _textured_crop(rng, srcs, out_hw)
+            crop, j = _textured_crop(rng, srcs, out_hw)
+            # global source id in the filename -> per-source eval grouping
             cv2.imwrite(
-                str(split_dir / f"real_{i:06d}.jpg"),
+                str(split_dir / f"real_s{src_ids[j]:03d}_{i:06d}.jpg"),
                 cv2.cvtColor(crop, cv2.COLOR_RGB2BGR),
                 [cv2.IMWRITE_JPEG_QUALITY, 92],
             )
         counts.append(n_items)
+        manifest[split] = {"sources": src_ids, "items": n_items}
         print(f"[real_corpus] {split}: {n_items} crops from {len(srcs)} sources")
+    import json
+
+    Path(out_dir, "sources.json").write_text(json.dumps(manifest, indent=1))
     return counts[0], counts[1]
 
 
