@@ -64,6 +64,22 @@ def main() -> None:
     cfg = SuperPointConfig(max_keypoints=1024)
     model, variables = init_superpoint(jax.random.PRNGKey(0), cfg, (h, w))
 
+    # bench the COMMITTED trained weights when present: NMS's while_loop
+    # trip count is data-dependent, so a trained score map is the honest
+    # input distribution (random init fires near-uniformly)
+    from pathlib import Path
+
+    wdir = Path(__file__).resolve().parent / "weights"
+    weights_used = "random_init"
+    snaps = sorted(wdir.glob("superpoint*.npz")) or sorted(wdir.glob("*.npz"))
+    snaps = [str(p) for p in snaps]
+    if snaps:
+        from feature_point_cnn_tpu.utils.weights import load_weights
+
+        raw = load_weights(snaps[-1])
+        variables = {"params": raw["params"], "batch_stats": raw["batch_stats"]}
+        weights_used = snaps[-1]
+
     extract = functools.partial(extract_fn, model=model, config=cfg)
     rng = np.random.default_rng(0)
 
@@ -88,10 +104,20 @@ def main() -> None:
     t_tiny = _median_fetch_seconds(tiny, 30, x)
 
     times = {}
+    flops_per_frame = None
     for bsz in (1, 8, 64):
         img = jax.device_put(
             jnp.asarray(rng.random((bsz, h, w, 3)), jnp.float32)
         )
+        lowered = frame_jit.lower(variables, img, key_desc, key_valid)
+        compiled = lowered.compile()
+        if bsz == 64:
+            try:
+                ca = compiled.cost_analysis()
+                ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+                flops_per_frame = float(ca["flops"]) / bsz
+            except Exception:
+                pass
         float(frame_jit(variables, img, key_desc, key_valid))  # compile+warm
         times[bsz] = _median_fetch_seconds(
             frame_jit, 10, variables, img, key_desc, key_valid
@@ -101,6 +127,15 @@ def main() -> None:
     device_s_per_frame = (times[64] - times[8]) / (64 - 8)
 
     device = jax.devices()[0]
+    # model FLOP utilization against chip peak (bf16).  The TPU here is a
+    # v5-lite-class chip: ~197 TFLOP/s bf16 (published v5e spec); XLA's
+    # cost analysis counts each MAC as 2 flops on the f32 graph.
+    peak_flops = 197e12 if device.platform in ("tpu", "axon") else None
+    mfu = (
+        round(flops_per_frame / device_s_per_frame / peak_flops, 4)
+        if flops_per_frame and peak_flops
+        else None
+    )
     print(
         json.dumps(
             {
@@ -116,6 +151,11 @@ def main() -> None:
                 "device_ms_per_frame": round(device_s_per_frame * 1e3, 4),
                 "device_fps_est": round(1.0 / device_s_per_frame, 2),
                 "relay_execute_ms": round(t_tiny * 1e3, 3),
+                "gflops_per_frame": (
+                    round(flops_per_frame / 1e9, 2) if flops_per_frame else None
+                ),
+                "mfu_vs_bf16_peak": mfu,
+                "weights": weights_used,
             }
         )
     )

@@ -42,6 +42,9 @@ def save_weights(path: str, variables: dict) -> None:
             raise ValueError(
                 f"variables missing {top!r} collection; got {sorted(variables)}"
             )
+    from pathlib import Path
+
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
     np.savez_compressed(path, **_flatten(variables))
 
 
