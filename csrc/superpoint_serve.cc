@@ -70,9 +70,20 @@ std::vector<long> json_int_list(const std::string& s, const std::string& key) {
 
 PJRT_Buffer_Type dtype_of(const std::string& name) {
   if (name == "f32") return PJRT_Buffer_Type_F32;
+  if (name == "f16") return PJRT_Buffer_Type_F16;
   if (name == "s32") return PJRT_Buffer_Type_S32;
+  if (name == "s16") return PJRT_Buffer_Type_S16;
   if (name == "pred") return PJRT_Buffer_Type_PRED;
   throw std::runtime_error("unknown dtype " + name);
+}
+
+std::string json_str(const std::string& s, const std::string& key,
+                     const std::string& dflt) {
+  auto pos = s.find("\"" + key + "\"");
+  if (pos == std::string::npos) return dflt;
+  auto q1 = s.find('"', s.find(':', pos));
+  auto q2 = s.find('"', q1 + 1);
+  return s.substr(q1 + 1, q2 - q1 - 1);
 }
 
 struct Spec {
@@ -189,6 +200,11 @@ int main(int argc, char** argv) {
     const long w = json_int_list(meta, "image_size")[1];
     const long c = json_int(meta, "channels");
     const long k = json_int(meta, "max_keypoints");
+    // "packed" ABI: num_valid + top-N f16 rows instead of full fixed-K f32
+    // arrays (see SuperPointFrontend.export_pjrt) — an ~8x smaller per-frame
+    // readback on a bandwidth-bound link
+    const bool packed = json_str(meta, "abi", "full") == "packed";
+    const long top_n = packed ? json_int(meta, "top_n") : k;
     auto in_specs = parse_specs(meta, "inputs");
     auto out_spec_list = parse_specs(meta, "outputs");
 
@@ -211,7 +227,9 @@ int main(int argc, char** argv) {
       out_specs.push_back(fpc::make_array(spec.shape, spec.type));
     }
 
-    // inputs: image, key_desc, key_valid
+    // inputs: image + keyframe feedback pair
+    //   full:   (key_desc (K,D) f32, key_valid (K) pred)
+    //   packed: (key_desc (N,D) f16, key_num s32 scalar)
     fpc::HostArray image = fpc::make_array(in_specs[0].shape, in_specs[0].type);
     fpc::HostArray key_desc = fpc::make_array(in_specs[1].shape, in_specs[1].type);
     fpc::HostArray key_valid = fpc::make_array(in_specs[2].shape, in_specs[2].type);
@@ -240,20 +258,37 @@ int main(int argc, char** argv) {
     struct InFlight {
       int index = 0;
       std::vector<fpc::DeviceBuffer> outs;
-      fpc::PjrtRuntime::PendingFetch valid_fetch, match_fetch;
+      std::vector<fpc::PjrtRuntime::PendingFetch> fetches;
       std::chrono::steady_clock::time_point issued;
     };
     std::deque<InFlight> in_flight;
     const int depth = pipeline < 1 ? 1 : pipeline;
 
+    // per-frame host readback: everything a real consumer needs (keypoint
+    // coordinates/scores + match indices); descriptors stay on device
+    const std::vector<size_t> fetch_idx =
+        packed ? std::vector<size_t>{0, 1, 2}    // num_valid, kp_packed, match
+               : std::vector<size_t>{0, 1, 2, 3, 4, 5};  // y,x,score,valid,m,mv
+    size_t fetch_bytes = 0;
+    for (size_t i : fetch_idx) fetch_bytes += out_specs[i].data.size();
+    std::printf("[serve] abi=%s top_n=%ld readback=%zu bytes/frame\n",
+                packed ? "packed" : "full", top_n, fetch_bytes);
+
     auto retire = [&](InFlight& fl) {
-      fpc::HostArray valid = rt.WaitFetch(fl.valid_fetch);
-      fpc::HostArray match_valid = rt.WaitFetch(fl.match_fetch);
+      std::vector<fpc::HostArray> got;
+      got.reserve(fl.fetches.size());
+      for (auto& f : fl.fetches) got.push_back(rt.WaitFetch(f));
       auto s1 = std::chrono::steady_clock::now();
       long n_kp = 0, n_match = 0;
-      for (long i = 0; i < k; ++i) {
-        n_kp += valid.pred()[i] != 0;
-        n_match += match_valid.pred()[i] != 0;
+      if (packed) {
+        n_kp = got[0].s32()[0];
+        const int32_t* mi = got[2].s32();
+        for (long i = 0; i < top_n; ++i) n_match += mi[i] >= 0;
+      } else {
+        for (long i = 0; i < k; ++i) {
+          n_kp += got[3].pred()[i] != 0;
+          n_match += got[5].pred()[i] != 0;
+        }
       }
       if (fl.index > 0) total_matches += n_match;
       if (fl.index < 3 || fl.index + 1 == frames) {
@@ -281,22 +316,22 @@ int main(int argc, char** argv) {
       fpc::DeviceBuffer image_dev = rt.Upload(image);
       fl.outs = rt.Execute({image_dev.get(), key_desc_dev.get(),
                             key_valid_dev.get()});
-      // fetch only what the host needs: valid (3) and match_valid (5)
-      fl.valid_fetch = rt.StartToHost(fl.outs[3], out_specs[3]);
-      fl.match_fetch = rt.StartToHost(fl.outs[5], out_specs[5]);
+      for (size_t i : fetch_idx) {
+        fl.fetches.push_back(rt.StartToHost(fl.outs[i], out_specs[i]));
+      }
 
       if (f == 0) {
-        // First frame becomes the keyframe — its descriptors/validity are
-        // fed back as device buffers (futures: later executes chain on them
-        // without any host round trip; the reference copies descriptors out
-        // per frame, superpoint.cc:98-152).  Retired synchronously so the
-        // steady-state clock starts clean.
-        key_desc_dev = std::move(fl.outs[6]);
-        // keep outs[3] alive in `fl` (the pending fetch reads it) but hand
-        // a non-owning alias to later executes is not possible with the
-        // RAII wrapper — retire first, then take ownership.
+        // First frame becomes the keyframe — its descriptors (+ validity /
+        // count) are fed back as device buffers (futures: later executes
+        // chain on them without any host round trip; the reference copies
+        // descriptors out per frame, superpoint.cc:98-152).  Retired
+        // synchronously so the steady-state clock starts clean.
+        const size_t desc_i = packed ? 3 : 6;
+        key_desc_dev = std::move(fl.outs[desc_i]);
+        // pending fetches still read some outs — retire first, then take
+        // ownership of the validity/count buffer.
         retire(fl);
-        key_valid_dev = std::move(fl.outs[3]);
+        key_valid_dev = std::move(fl.outs[packed ? 0 : 3]);
         steady_t0 = std::chrono::steady_clock::now();
         continue;
       }

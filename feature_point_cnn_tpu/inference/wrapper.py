@@ -213,18 +213,38 @@ class SuperPointFrontend:
             f.write(exported.serialize())
         print(f"[frontend] exported StableHLO ({h}x{w}) to {path}")
 
-    def export_pjrt(self, out_dir: str, image_size: Tuple[int, int]) -> None:
+    def export_pjrt(
+        self,
+        out_dir: str,
+        image_size: Tuple[int, int],
+        abi: str = "packed",
+        top_n: Optional[int] = None,
+    ) -> None:
         """Export the full frame program (detect + describe + MATCH against a
         fed-back keyframe — matching stays an on-chip GEMM) for the native
         C++ PJRT runtime (`csrc/`):
 
           <out_dir>/module.mlir         StableHLO bytecode (PJRT "mlir" format)
           <out_dir>/compile_options.pb  serialized xla CompileOptionsProto
-          <out_dir>/meta.json           input/output specs
+          <out_dir>/meta.json           input/output specs (+"abi")
 
-        This is the TPU-native counterpart of the TorchScript-trace +
-        TRTorch-compile path consumed by the reference C++ app
-        (`cpp/src/superpoint.cc:11-26`).
+        Two ABIs:
+
+        * ``abi="full"`` — per frame the device returns full fixed-K f32
+          arrays (y/x/score/valid + matches + (K, D) f32 descriptors,
+          ~537 KB at K=1024/D=128).
+        * ``abi="packed"`` (default) — the top ``top_n`` score-sorted rows
+          only (`lax.top_k` output is descending, so slicing is exact), as
+          ``num_valid`` (s32) + one ``(N, 3) f16`` [y, x, score] array +
+          ``(N,) s32`` match indices (-1 = no match) + ``(N, D) f16``
+          descriptors: ~70 KB at N=256 — an ~8x D2H cut.  The keyframe
+          feeds back as (desc_f16, num_valid) device buffers, so the host
+          never touches descriptor bytes.  This is the TPU-native analog
+          of the reference's pinned-buffer readback optimization
+          (`/root/reference/cpp/src/superpoint.cc:98-152`).
+
+        This replaces the TorchScript-trace + TRTorch-compile path consumed
+        by the reference C++ app (`cpp/src/superpoint.cc:11-26`).
         """
         import json
         from pathlib import Path
@@ -237,25 +257,93 @@ class SuperPointFrontend:
         h, w = image_size
         cfg = self.config
         k, d = cfg.max_keypoints, cfg.descriptor_dim
+        assert abi in ("full", "packed"), abi
+        n = min(top_n or 256, k)
 
-        def frame_fn(image, key_desc, key_valid):
-            kp, desc = extract_fn(
-                self.variables, image, model=self.model, config=cfg
-            )
-            m = mnn_match(
-                desc[0], kp.valid[0], key_desc, key_valid,
-                max_l2_dist=cfg.nn_thresh,
-            )
-            return (
-                kp.y[0], kp.x[0], kp.score[0], kp.valid[0],
-                m.index, m.valid, desc[0],
-            )
+        if abi == "full":
 
-        specs = (
-            jax.ShapeDtypeStruct((1, h, w, cfg.image_channels), jnp.float32),
-            jax.ShapeDtypeStruct((k, d), jnp.float32),
-            jax.ShapeDtypeStruct((k,), jnp.bool_),
-        )
+            def frame_fn(image, key_desc, key_valid):
+                kp, desc = extract_fn(
+                    self.variables, image, model=self.model, config=cfg
+                )
+                m = mnn_match(
+                    desc[0], kp.valid[0], key_desc, key_valid,
+                    max_l2_dist=cfg.nn_thresh,
+                )
+                return (
+                    kp.y[0], kp.x[0], kp.score[0], kp.valid[0],
+                    m.index, m.valid, desc[0],
+                )
+
+            specs = (
+                jax.ShapeDtypeStruct(
+                    (1, h, w, cfg.image_channels), jnp.float32
+                ),
+                jax.ShapeDtypeStruct((k, d), jnp.float32),
+                jax.ShapeDtypeStruct((k,), jnp.bool_),
+            )
+            inputs = [
+                {"name": "image", "shape": [1, h, w, cfg.image_channels],
+                 "dtype": "f32"},
+                {"name": "key_desc", "shape": [k, d], "dtype": "f32"},
+                {"name": "key_valid", "shape": [k], "dtype": "pred"},
+            ]
+            outputs = [
+                {"name": "y", "shape": [k], "dtype": "f32"},
+                {"name": "x", "shape": [k], "dtype": "f32"},
+                {"name": "score", "shape": [k], "dtype": "f32"},
+                {"name": "valid", "shape": [k], "dtype": "pred"},
+                {"name": "match_index", "shape": [k], "dtype": "s32"},
+                {"name": "match_valid", "shape": [k], "dtype": "pred"},
+                {"name": "desc", "shape": [k, d], "dtype": "f32"},
+            ]
+        else:
+
+            def frame_fn(image, key_desc, key_num):
+                kp, desc = extract_fn(
+                    self.variables, image, model=self.model, config=cfg
+                )
+                # keypoints are score-sorted (lax.top_k), so the first N
+                # rows ARE the top N; invalid slots sit at the tail
+                y, x = kp.y[0][:n], kp.x[0][:n]
+                score, valid = kp.score[0][:n], kp.valid[0][:n]
+                desc_n = jnp.where(valid[:, None], desc[0][:n], 0.0)
+                key_valid = jnp.arange(n) < key_num
+                m = mnn_match(
+                    desc_n, valid, key_desc.astype(jnp.float32), key_valid,
+                    max_l2_dist=cfg.nn_thresh,
+                )
+                num_valid = valid.sum(dtype=jnp.int32)
+                packed = jnp.stack([y, x, score], axis=-1).astype(
+                    jnp.float16
+                )
+                match_index = jnp.where(m.valid, m.index, -1).astype(
+                    jnp.int32
+                )
+                return num_valid, packed, match_index, desc_n.astype(
+                    jnp.float16
+                )
+
+            specs = (
+                jax.ShapeDtypeStruct(
+                    (1, h, w, cfg.image_channels), jnp.float32
+                ),
+                jax.ShapeDtypeStruct((n, d), jnp.float16),
+                jax.ShapeDtypeStruct((), jnp.int32),
+            )
+            inputs = [
+                {"name": "image", "shape": [1, h, w, cfg.image_channels],
+                 "dtype": "f32"},
+                {"name": "key_desc", "shape": [n, d], "dtype": "f16"},
+                {"name": "key_num", "shape": [], "dtype": "s32"},
+            ]
+            outputs = [
+                {"name": "num_valid", "shape": [], "dtype": "s32"},
+                {"name": "kp_packed", "shape": [n, 3], "dtype": "f16"},
+                {"name": "match_index", "shape": [n], "dtype": "s32"},
+                {"name": "desc", "shape": [n, d], "dtype": "f16"},
+            ]
+
         exported = jax_export.export(jax.jit(frame_fn))(*specs)
 
         out = Path(out_dir)
@@ -265,24 +353,17 @@ class SuperPointFrontend:
             xla_client.CompileOptions().SerializeAsString()
         )
         meta = {
+            "abi": abi,
             "image_size": [h, w],
             "channels": cfg.image_channels,
             "max_keypoints": k,
+            "top_n": n,
             "descriptor_dim": d,
-            "inputs": [
-                {"name": "image", "shape": [1, h, w, cfg.image_channels], "dtype": "f32"},
-                {"name": "key_desc", "shape": [k, d], "dtype": "f32"},
-                {"name": "key_valid", "shape": [k], "dtype": "pred"},
-            ],
-            "outputs": [
-                {"name": "y", "shape": [k], "dtype": "f32"},
-                {"name": "x", "shape": [k], "dtype": "f32"},
-                {"name": "score", "shape": [k], "dtype": "f32"},
-                {"name": "valid", "shape": [k], "dtype": "pred"},
-                {"name": "match_index", "shape": [k], "dtype": "s32"},
-                {"name": "match_valid", "shape": [k], "dtype": "pred"},
-                {"name": "desc", "shape": [k, d], "dtype": "f32"},
-            ],
+            "inputs": inputs,
+            "outputs": outputs,
         }
         (out / "meta.json").write_text(json.dumps(meta, indent=1))
-        print(f"[frontend] exported PJRT program ({h}x{w}) to {out_dir}")
+        print(
+            f"[frontend] exported PJRT program ({h}x{w}, abi={abi}) "
+            f"to {out_dir}"
+        )

@@ -1,9 +1,12 @@
 """PJRT export bundle tests (CPU): artifact layout, meta ABI spec, and a
-real compile+execute of the exported StableHLO via the XLA client."""
+real compile+execute of the exported StableHLO via the XLA client — both
+the full fixed-K ABI and the packed top-N f16 ABI (the bandwidth-slim
+default, ~8x smaller per-frame readback)."""
 
 import json
 
 import jax
+import numpy as np
 import pytest
 
 from feature_point_cnn_tpu.config import SuperPointConfig
@@ -13,11 +16,21 @@ CFG = SuperPointConfig(
     train_image_size=(48, 64), max_keypoints=32, compute_dtype="float32"
 )
 
+NP_DTYPES = {
+    "f32": np.float32,
+    "f16": np.float16,
+    "s32": np.int32,
+    "s16": np.int16,
+    "pred": np.bool_,
+}
 
-@pytest.fixture(scope="module")
-def bundle(tmp_path_factory):
-    out = tmp_path_factory.mktemp("pjrt_export")
-    SuperPointFrontend(CFG).export_pjrt(str(out), (48, 64))
+
+@pytest.fixture(scope="module", params=["full", "packed"])
+def bundle(request, tmp_path_factory):
+    out = tmp_path_factory.mktemp(f"pjrt_export_{request.param}")
+    SuperPointFrontend(CFG).export_pjrt(
+        str(out), (48, 64), abi=request.param, top_n=16
+    )
     return out
 
 
@@ -29,21 +42,31 @@ def test_bundle_layout(bundle):
     assert meta["max_keypoints"] == 32
     names_in = [s["name"] for s in meta["inputs"]]
     names_out = [s["name"] for s in meta["outputs"]]
-    assert names_in == ["image", "key_desc", "key_valid"]
-    assert names_out == [
-        "y", "x", "score", "valid", "match_index", "match_valid", "desc",
-    ]
+    if meta["abi"] == "full":
+        assert names_in == ["image", "key_desc", "key_valid"]
+        assert names_out == [
+            "y", "x", "score", "valid", "match_index", "match_valid", "desc",
+        ]
+    else:
+        assert meta["top_n"] == 16
+        assert names_in == ["image", "key_desc", "key_num"]
+        assert names_out == ["num_valid", "kp_packed", "match_index", "desc"]
+        # the packed per-frame readback (all but desc) must be far smaller
+        # than the full ABI's — the whole point of the ABI
+        nbytes = sum(
+            int(np.prod(s["shape"])) * np.dtype(NP_DTYPES[s["dtype"]]).itemsize
+            for s in meta["outputs"] if s["name"] != "desc"
+        )
+        assert nbytes < 500, nbytes
     # every spec is consumable by the C++ runtime (dtype vocabulary)
     for s in meta["inputs"] + meta["outputs"]:
-        assert s["dtype"] in ("f32", "s32", "pred")
+        assert s["dtype"] in NP_DTYPES
 
 
 def test_module_compiles_and_runs(bundle, rng):
     """Compile the exported StableHLO with the XLA CPU client (the same
     entry point the C++ PJRT runtime uses) and execute it with meta-declared
     shapes — outputs must match meta's arity, shapes, and dtypes."""
-    import numpy as np
-
     data = (bundle / "module.mlir").read_bytes()
     assert data[:4] == b"ML\xefR"  # MLIR bytecode magic
 
@@ -56,9 +79,8 @@ def test_module_compiles_and_runs(bundle, rng):
         data, device_list, xla_client.CompileOptions()
     )
 
-    np_dtypes = {"f32": np.float32, "s32": np.int32, "pred": np.bool_}
     args = [
-        np.zeros(spec["shape"], np_dtypes[spec["dtype"]])
+        np.zeros(spec["shape"], NP_DTYPES[spec["dtype"]])
         for spec in meta["inputs"]
     ]
     args[0] += rng.random(tuple(meta["inputs"][0]["shape"])).astype(np.float32)
@@ -66,7 +88,21 @@ def test_module_compiles_and_runs(bundle, rng):
         [backend.buffer_from_pyval(a) for a in args]
     ).disassemble_into_single_device_arrays()
     assert len(outs) == len(meta["outputs"])
+    by_name = {}
     for out, spec in zip(outs, meta["outputs"]):
         arr = np.asarray(out[0])
         assert list(arr.shape) == spec["shape"], spec["name"]
-        assert arr.dtype == np_dtypes[spec["dtype"]], spec["name"]
+        assert arr.dtype == NP_DTYPES[spec["dtype"]], spec["name"]
+        by_name[spec["name"]] = arr
+
+    if meta["abi"] == "packed":
+        # packed semantics: num_valid counts the score-sorted prefix, scores
+        # are descending over the valid prefix, match indices are -1 or in
+        # range (zero keyframe -> likely no matches, but stay in contract)
+        n_valid = int(by_name["num_valid"])
+        assert 0 <= n_valid <= meta["top_n"]
+        scores = by_name["kp_packed"][:, 2].astype(np.float32)
+        if n_valid > 1:
+            assert (np.diff(scores[:n_valid]) <= 1e-6).all()
+        mi = by_name["match_index"]
+        assert ((mi == -1) | ((mi >= 0) & (mi < meta["top_n"]))).all()
