@@ -256,12 +256,16 @@ def test_scan_microbatching_matches_sequential(rng):
     loss_k, stats_k, logits_k, grads_k = helper(params, stats0, data)
 
     def sequential(p, stats, d):
+        # the split is STRIDED (microbatch i = items [i, i+k, ...]) so each
+        # microbatch stays evenly sharded under the data-parallel mesh
         gfn = jax.value_and_grad(micro_loss, has_aux=True)
         (l1, (s1, lg1)), g1 = gfn(
-            p, stats, {"images": d["images"][:2], "labels": d["labels"][:2]}
+            p, stats,
+            {"images": d["images"][0::2], "labels": d["labels"][0::2]},
         )
         (l2, (s2, lg2)), g2 = gfn(
-            p, s1, {"images": d["images"][2:], "labels": d["labels"][2:]}
+            p, s1,
+            {"images": d["images"][1::2], "labels": d["labels"][1::2]},
         )
         ref = jax.tree_util.tree_map(lambda a, b: (a + b) / 2.0, g1, g2)
         return (l1 + l2) / 2.0, s2, jnp.concatenate([lg1, lg2]), ref
