@@ -26,8 +26,10 @@ pytestmark = pytest.mark.skipif(
 )
 
 # evaluation pairs are cheap but each is a full 240x320 forward on CPU;
-# keep the count small — uniform-softmax failure needs only one image
-N_PAIRS = 4
+# keep the count small — uniform-softmax failure needs only one image.
+# 8 pairs keeps the repeatability estimate's sampling noise within ~0.1
+# (measured: 4-pair samples ranged 0.28-0.67 for the same converged model)
+N_PAIRS = 8
 SHAPE = (240, 320)
 
 
@@ -71,19 +73,29 @@ def test_snapshot_detects(snapshot):
     under the K cap, and at least a handful fire on a corner-rich scene."""
     fe = _frontend(snapshot)
     k = fe.config.max_keypoints
+    counts = []
     for img in _eval_images(snapshot):
         kp, _ = fe.extract(np.asarray(img, np.float32)[None])
         score = np.asarray(kp.score[0])
         valid = np.asarray(kp.valid[0])
         n = int(valid.sum())
+        counts.append(n)
         assert score.max() > 0.1, (
             f"{snapshot.name}: prob max {score.max():.4f} is near the "
             f"uniform 1/65 floor — untrained or collapsed detector"
         )
-        assert 5 <= n <= int(0.75 * k), (
+        # a converged detector fires on SOME corners of every corner-rich
+        # scene and never saturates the cap (a uniform softmax fills all K)
+        assert 1 <= n <= int(0.75 * k), (
             f"{snapshot.name}: {n} detections against K={k} cap — "
-            f"{'saturated (noise)' if n > 0.75 * k else 'almost nothing fires'}"
+            f"{'saturated (noise)' if n > 0.75 * k else 'nothing fires'}"
         )
+    # sparse scenes (a lone polygon) legitimately carry few corners; the
+    # MEAN across scenes separates a working detector from a dead one
+    assert float(np.mean(counts)) >= 10, (
+        f"{snapshot.name}: mean detections {np.mean(counts):.1f} < 10 "
+        f"across {len(counts)} scenes ({counts})"
+    )
 
 
 @pytest.mark.parametrize("snapshot", SNAPSHOTS, ids=lambda p: p.name)
