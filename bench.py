@@ -19,9 +19,14 @@ through the relay, so the benchmark reports:
 * ``b1_latency_ms``  — single-frame synchronous latency (relay-dominated
                        here; on a locally attached chip subtract
                        ``relay_execute_ms``);
-* ``device_ms_per_frame`` — marginal per-frame device time from the
-                       (b64 - b8) slope: the relay's fixed cost cancels in
-                       the subtraction, so this is the chip-side number;
+* ``device_ms_per_frame`` — chip-side per-frame time measured by repeating
+                       the pipeline R times INSIDE one jitted program
+                       (`lax.scan`, perturbed input) and taking the median
+                       of back-to-back (R_hi - R_lo) differences: device
+                       time scales with R, the relay round trip does not,
+                       and pairing the two runs cancels the relay's
+                       minute-scale drift (round-3 correction: the earlier
+                       (b64-b8)/56 slope mixed in that drift);
 * ``relay_execute_ms`` — the environment's fixed execute+fetch round trip,
                        measured on a one-FLOP program.
 
@@ -124,7 +129,40 @@ def main() -> None:
         )
 
     throughput_b64 = 64.0 / times[64]
-    device_s_per_frame = (times[64] - times[8]) / (64 - 8)
+
+    # chip-side per-frame time: R-fold on-device repeat, paired-difference
+    # timing (drift-robust; see module docstring)
+    def scanned(r, b):
+        im = jax.device_put(
+            jnp.asarray(rng.random((b, h, w, 3)), jnp.float32)
+        )
+
+        def fn_impl(v):
+            def step(carry, i):
+                s = frame_scalar(
+                    v, im + (1e-7 * i).astype(im.dtype), key_desc, key_valid
+                )
+                return carry + s, ()
+
+            return jax.lax.scan(
+                step, jnp.zeros((), jnp.float32), jnp.arange(r)
+            )[0]
+
+        fn = jax.jit(fn_impl)
+        float(fn(variables))  # compile + warm
+        return fn
+
+    r_lo, r_hi, b_scan = 2, 10, 32
+    fn_lo, fn_hi = scanned(r_lo, b_scan), scanned(r_hi, b_scan)
+    diffs = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        float(fn_lo(variables))
+        t1 = time.perf_counter()
+        float(fn_hi(variables))
+        t2 = time.perf_counter()
+        diffs.append((t2 - t1) - (t1 - t0))
+    device_s_per_frame = float(np.median(diffs)) / ((r_hi - r_lo) * b_scan)
 
     device = jax.devices()[0]
     # model FLOP utilization against chip peak (bf16).  The TPU here is a

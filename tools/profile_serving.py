@@ -1,32 +1,32 @@
 """Stage-wise serving profile on real hardware (fetch-forced timing).
 
-Decomposes the serving pipeline into cumulative stages and reports each
-stage's MARGINAL device time per frame from a (b_hi - b_lo) slope, so the
-relay's fixed dispatch+fetch cost cancels (bench.py methodology).  Run with
-the committed trained weights when available — NMS's while_loop trip count
-is data-dependent, so score-map statistics change the result.
+Methodology (v2): batch-slope marginals drown in the relay's 33-61 ms RTT
+variance, so each stage is instead repeated R times INSIDE one jitted
+program (`lax.scan`, input perturbed per iteration so nothing hoists) and
+timed at two repeat counts: device time scales with R while the relay
+round trip stays constant, so
+
+    per_frame = (t(R_hi) - t(R_lo)) / ((R_hi - R_lo) * batch)
+
+With batch 32 and R_hi-R_lo = 8, a 1 ms/frame stage separates by ~256 ms —
+an order of magnitude above the RTT noise.  Run with the committed trained
+weights: NMS's while_loop trip count is data-dependent.
 
 Usage:  python tools/profile_serving.py [--weights weights/X.npz]
-            [--H 480] [--W 640] [--lo 8] [--hi 64]
+            [--H 480] [--W 640] [--batch 32] [--rlo 2] [--rhi 10]
 """
 
 from __future__ import annotations
 
 import argparse
-import functools
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
-
-def fetch_seconds(fn, n, *args):
-    ts = []
-    for _ in range(n):
-        t0 = time.perf_counter()
-        float(fn(*args))
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
@@ -34,10 +34,13 @@ def main() -> None:
     ap.add_argument("--weights", default="weights/magicpoint_synth_r3.npz")
     ap.add_argument("--H", type=int, default=480)
     ap.add_argument("--W", type=int, default=640)
-    ap.add_argument("--lo", type=int, default=8)
-    ap.add_argument("--hi", type=int, default=64)
-    ap.add_argument("--reps", type=int, default=7)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--rlo", type=int, default=2)
+    ap.add_argument("--rhi", type=int, default=10)
+    ap.add_argument("--reps", type=int, default=5)
     opt = ap.parse_args()
+
+    import functools
 
     import jax
     import jax.numpy as jnp
@@ -50,12 +53,11 @@ def main() -> None:
         grid_nms,
     )
     from feature_point_cnn_tpu.ops.matching import mnn_match
+    from feature_point_cnn_tpu.ops.pallas.decode import decode_threshold_pallas
 
-    h, w = opt.H, opt.W
+    h, w, b = opt.H, opt.W, opt.batch
     cfg = SuperPointConfig(max_keypoints=1024)
     model, variables = init_superpoint(jax.random.PRNGKey(0), cfg, (h, w))
-    import os
-
     if os.path.exists(opt.weights):
         from feature_point_cnn_tpu.utils.weights import load_weights
 
@@ -63,11 +65,9 @@ def main() -> None:
         variables = {
             "params": raw["params"], "batch_stats": raw["batch_stats"]
         }
-        print(f"# weights: {opt.weights}")
+        print(f"# weights: {opt.weights}", flush=True)
     else:
-        print("# weights: random init")
-
-    from feature_point_cnn_tpu.ops.pallas.decode import decode_threshold_pallas
+        print("# weights: random init", flush=True)
 
     def forward_only(v, im):
         _, desc, logits = model.apply(v, im, train=False)
@@ -83,13 +83,13 @@ def main() -> None:
         s = jnp.where(prob >= cfg.confidence_thresh, prob, 0.0)
         return jnp.sum(s) + jnp.sum(desc)
 
-    def fwd_decode_nms_xla(v, im):
+    def fwd_dec_nms_xla(v, im):
         _, desc, logits = model.apply(v, im, train=False)
         s = decode_threshold_pallas(logits, cfg.cell, cfg.confidence_thresh)
         s = grid_nms(s, cfg.nms_dist, cfg.nms_iters)
         return jnp.sum(s) + jnp.sum(desc)
 
-    def fwd_decode_nms_pallas(v, im):
+    def fwd_dec_nms_pallas(v, im):
         from feature_point_cnn_tpu.ops.pallas.nms import grid_nms_pallas
 
         _, desc, logits = model.apply(v, im, train=False)
@@ -97,7 +97,7 @@ def main() -> None:
         s = grid_nms_pallas(s, cfg.nms_dist)
         return jnp.sum(s) + jnp.sum(desc)
 
-    def fwd_decode_nms_topk(v, im):
+    def fwd_dec_nms_topk(v, im):
         _, desc, logits = model.apply(v, im, train=False)
         s = decode_threshold_pallas(logits, cfg.cell, cfg.confidence_thresh)
         kp = extract_keypoints_from_scores(s, cfg)
@@ -107,60 +107,83 @@ def main() -> None:
         kp, desc = extract_fn(v, im, model=model, config=cfg)
         return jnp.sum(kp.score) + jnp.sum(desc[..., 0])
 
-    def full_pipeline(v, im, kd, kv):
-        kp, desc = extract_fn(v, im, model=model, config=cfg)
-        m = jax.vmap(mnn_match, in_axes=(0, 0, None, None))(
-            desc, kp.valid, kd, kv
-        )
-        return jnp.sum(m.num) + jnp.sum(kp.score) + jnp.sum(desc[..., 0])
-
     rng = np.random.default_rng(0)
     kp0, desc0 = jax.jit(
         functools.partial(extract_fn, model=model, config=cfg)
     )(variables, jnp.asarray(rng.random((1, h, w, 3)), jnp.float32))
-    kd, kv = desc0[0], kp0.valid[0]
+    kd = jax.device_get(desc0[0])
+    kv = jax.device_get(kp0.valid[0])
+
+    def full_pipeline(v, im):
+        kp, desc = extract_fn(v, im, model=model, config=cfg)
+        m = jax.vmap(mnn_match, in_axes=(0, 0, None, None))(
+            desc, kp.valid, jnp.asarray(kd), jnp.asarray(kv)
+        )
+        return jnp.sum(m.num) + jnp.sum(kp.score) + jnp.sum(desc[..., 0])
+
+    def scanned(body, r):
+        def run(v, im):
+            def step(carry, i):
+                s = body(v, im + (1e-7 * i).astype(im.dtype))
+                return carry + s, ()
+
+            out, _ = jax.lax.scan(
+                step, jnp.zeros((), jnp.float32), jnp.arange(r)
+            )
+            return out
+
+        return jax.jit(run)
+
+    def paired_diff_seconds(fn_lo, fn_hi, *args):
+        """Median of BACK-TO-BACK (hi - lo) time differences: the relay RTT
+        drifts over minutes, so each difference is taken within one moment
+        rather than between two separately-medianed runs."""
+        diffs = []
+        for _ in range(opt.reps):
+            t0 = time.perf_counter()
+            float(fn_lo(*args))
+            t1 = time.perf_counter()
+            float(fn_hi(*args))
+            t2 = time.perf_counter()
+            diffs.append((t2 - t1) - (t1 - t0))
+        return float(np.median(diffs))
+
+    im = jax.device_put(jnp.asarray(rng.random((b, h, w, 3)), jnp.float32))
 
     stages = [
-        ("forward", forward_only, ()),
-        ("fwd+decode_pallas", fwd_decode_pallas, ()),
-        ("fwd+decode_xla", fwd_decode_xla, ()),
-        ("fwd+dec+nms_xla", fwd_decode_nms_xla, ()),
-        ("fwd+dec+nms_pallas", fwd_decode_nms_pallas, ()),
-        ("fwd+dec+nms+topk", fwd_decode_nms_topk, ()),
-        ("full_extract", full_extract, ()),
-        ("full+match", full_pipeline, (kd, kv)),
+        ("forward", forward_only),
+        ("fwd+decode_pallas", fwd_decode_pallas),
+        ("fwd+decode_xla", fwd_decode_xla),
+        ("fwd+dec+nms_xla", fwd_dec_nms_xla),
+        ("fwd+dec+nms_pallas", fwd_dec_nms_pallas),
+        ("fwd+dec+nms+topk", fwd_dec_nms_topk),
+        ("full_extract", full_extract),
+        ("full+match", full_pipeline),
     ]
 
-    out = {}
-    for name, fn, extra in stages:
-        jfn = jax.jit(fn)
-        times = {}
+    for name, body in stages:
         flops = None
-        for bsz in (opt.lo, opt.hi):
-            im = jax.device_put(
-                jnp.asarray(rng.random((bsz, h, w, 3)), jnp.float32)
-            )
-            args = (variables, im) + extra
-            if bsz == opt.hi:
-                try:
-                    ca = jfn.lower(*args).compile().cost_analysis()
-                    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-                    flops = float(ca["flops"]) / bsz
-                except Exception:
-                    pass
-            float(jfn(*args))  # compile + warm
-            times[bsz] = fetch_seconds(jfn, opt.reps, *args)
-        marginal_ms = (times[opt.hi] - times[opt.lo]) / (opt.hi - opt.lo) * 1e3
+        try:
+            ca = jax.jit(body).lower(variables, im).compile().cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            flops = float(ca["flops"]) / b
+        except Exception:
+            pass
+        fn_lo = scanned(body, opt.rlo)
+        fn_hi = scanned(body, opt.rhi)
+        float(fn_lo(variables, im))  # compile + warm
+        float(fn_hi(variables, im))
+        diff = paired_diff_seconds(fn_lo, fn_hi, variables, im)
+        per_frame_ms = diff / ((opt.rhi - opt.rlo) * b) * 1e3
         row = {
-            "marginal_ms_per_frame": round(marginal_ms, 4),
+            "ms_per_frame": round(per_frame_ms, 4),
             "gflops_per_frame": round(flops / 1e9, 2) if flops else None,
             "tflops_eff": (
-                round(flops / (marginal_ms * 1e-3) / 1e12, 1)
-                if flops and marginal_ms > 0
+                round(flops / (per_frame_ms * 1e-3) / 1e12, 1)
+                if flops and per_frame_ms > 0
                 else None
             ),
         }
-        out[name] = row
         print(f"{name:22s} {json.dumps(row)}", flush=True)
 
 
