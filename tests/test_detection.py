@@ -36,7 +36,11 @@ def _random_scores(rng, density=0.02):
     n = int(H * W * density)
     ys = rng.integers(0, H, n)
     xs = rng.integers(0, W, n)
-    scores[ys, xs] = rng.random(n).astype(np.float32) * 0.9 + 0.05
+    # permutation-spaced values: pairwise gaps >= 0.9/n, far above the
+    # 2^-15-relative ranking quantization grid_nms applies for its
+    # deterministic tie-break, so oracle order == kernel order
+    vals = (rng.permutation(n).astype(np.float32) + 1.0) / n * 0.9 + 0.05
+    scores[ys, xs] = vals
     return scores
 
 
@@ -218,3 +222,47 @@ def test_refine_keypoints_border_safe():
     out = refine_keypoints(jnp.asarray(prob), kp)
     assert np.all(np.asarray(out.y) >= 0) and np.all(np.asarray(out.y) <= 15)
     assert np.all(np.asarray(out.x) >= 0) and np.all(np.asarray(out.x) <= 15)
+
+
+def test_block_reduced_topk_matches_flat_topk(rng):
+    """The 4x4 block-max reduction before `lax.top_k` is EXACT whenever NMS
+    guarantees >= nms_dist+1 inf-norm spacing: the extraction must return
+    exactly the numpy oracle's top-K of the NMS'd, border-stripped map."""
+    import jax.numpy as jnp
+
+    from feature_point_cnn_tpu.config import SuperPointConfig
+    from feature_point_cnn_tpu.ops.detection import (
+        extract_keypoints_from_scores,
+        grid_nms,
+    )
+
+    cfg = SuperPointConfig(max_keypoints=128)
+    # distinct positive scores (ties would permute equal-score tails)
+    scores = jnp.asarray(
+        rng.permutation(48 * 64).reshape(1, 48, 64).astype(np.float32)
+        / (48 * 64)
+    )
+    fast = extract_keypoints_from_scores(scores, cfg)
+
+    # numpy oracle: NMS'd map -> border strip -> global sort
+    s = np.asarray(grid_nms(scores, cfg.nms_dist, 0))[0].copy()
+    br = cfg.border_remove
+    s[:br, :] = 0; s[-br:, :] = 0; s[:, :br] = 0; s[:, -br:] = 0
+    ys, xs = np.nonzero(s)
+    vals = s[ys, xs]
+    order = np.argsort(-vals)[: cfg.max_keypoints]
+    expected = {
+        (float(ys[i]), float(xs[i]), round(float(vals[i]), 6)) for i in order
+    }
+
+    v = np.asarray(fast.valid[0])
+    got = {
+        (float(y), float(x), round(float(sc), 6))
+        for y, x, sc in zip(
+            np.asarray(fast.y[0])[v],
+            np.asarray(fast.x[0])[v],
+            np.asarray(fast.score[0])[v],
+        )
+    }
+    assert got == expected
+    assert len(got) > 10
