@@ -84,12 +84,18 @@ def test_snapshot_detects(snapshot):
             f"{snapshot.name}: prob max {score.max():.4f} is near the "
             f"uniform 1/65 floor — untrained or collapsed detector"
         )
-        # a converged detector fires on SOME corners of every corner-rich
-        # scene and never saturates the cap (a uniform softmax fills all K)
-        assert 1 <= n <= int(0.75 * k), (
-            f"{snapshot.name}: {n} detections against K={k} cap — "
-            f"{'saturated (noise)' if n > 0.75 * k else 'nothing fires'}"
-        )
+        assert n >= 1, f"{snapshot.name}: nothing fires on scene {len(counts)}"
+        if n > int(0.75 * k):
+            # a heavily textured real crop can legitimately put > K cells
+            # above the low reference threshold (0.015, settings.py:4-8);
+            # the round-2 failure mode is different: EVERY score pinned at
+            # ~1/65 = 0.0154. Distinguish by score spread among survivors.
+            sv = score[valid.astype(bool)]
+            assert float(np.median(sv)) > 0.03 and float(sv.max()) > 0.2, (
+                f"{snapshot.name}: cap saturated with flat scores "
+                f"(median {np.median(sv):.4f}, max {sv.max():.4f}) — "
+                f"uniform-softmax noise, not a dense textured scene"
+            )
     # sparse scenes (a lone polygon) legitimately carry few corners; the
     # MEAN across scenes separates a working detector from a dead one
     # (converged r3 model measures 9.4 on these 8 scenes with exact greedy
@@ -97,6 +103,11 @@ def test_snapshot_detects(snapshot):
     assert float(np.mean(counts)) >= 6, (
         f"{snapshot.name}: mean detections {np.mean(counts):.1f} < 6 "
         f"across {len(counts)} scenes ({counts})"
+    )
+    # the round-2 broken snapshot saturated the cap on ALL images; a
+    # working detector modulates its count with scene content
+    assert min(counts) < int(0.75 * k), (
+        f"{snapshot.name}: all {len(counts)} scenes saturate K={k} ({counts})"
     )
 
 
