@@ -62,6 +62,15 @@ class SuperPointConfig:
                                       # StableHLO free of an extra custom
                                       # call (RESULTS.md round 2)
 
+    stem_s2d: str = "off"             # compute the 7x7/2 stem conv as an
+                                      # EXACT space-to-depth 4x4/1 conv on a
+                                      # 12-channel input (same params, same
+                                      # output): "auto" (on TPU), "on",
+                                      # "off".  The 3-channel 7x7 stem is
+                                      # MXU-hostile (contraction K=147 with
+                                      # a 3-lane input); the s2d form
+                                      # contracts K=192 over aligned lanes
+
     # --- model topology (superpoint.py:12-61) ---
     image_channels: int = 3
     descriptor_dim: int = 128

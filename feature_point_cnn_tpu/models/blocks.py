@@ -103,6 +103,56 @@ class TorchConvTranspose(nn.Module):
         return y
 
 
+class S2DStemConv(nn.Module):
+    """The 7x7/2/pad-3 stem conv computed as an EXACT space-to-depth
+    reparametrization: a 4x4/1 conv over the 2x2-space-to-depth input.
+
+    Identity:  ``out(i,j) = sum_{a,b} W[a,b] in[2i+a-3, 2j+b-3]``.  Writing
+    every padded input row as ``u = 2m + r`` (``r`` the parity), the 7 taps
+    ``a in [0,7)`` regroup into 4 taps ``p in [0,4)`` per parity with
+    ``a = 2p + r - 1`` (the single out-of-range pair ``p=0, r=0`` gets a
+    zero weight), so the whole stem is one stride-1 conv with padding
+    ``(2, 1)`` over the ``(H/2, W/2, 4*C)`` space-to-depth view.
+
+    The parameter keeps the standard ``(7, 7, C, F)`` kernel layout under
+    the same ``conv1/kernel`` path, so checkpoints are interchangeable with
+    the plain `torch_conv` stem; the regrouping is a compile-time-fused
+    reshape of the weights.  Motivation: a 3-channel 7x7 contraction
+    (K=147) starves the MXU; the s2d form contracts K=192 over a
+    12-channel input at 1/4 the spatial positions.
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        assert h % 2 == 0 and w % 2 == 0, (h, w)
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (7, 7, c, self.features),
+            jnp.float32,
+        )
+        # W2[p,q,(r,s,ch),o] = W[2p+r-1, 2q+s-1, ch, o]; pad the front so
+        # index -1 lands on a zero row/col, then regroup 8 = (4 taps, 2
+        # parities) on each spatial axis
+        wp = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        w2 = wp.reshape(4, 2, 4, 2, c, self.features)
+        w2 = w2.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c, self.features)
+        # space-to-depth: channel index (r, s, ch) to match w2's regrouping
+        x2 = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+        return lax.conv_general_dilated(
+            x2.astype(self.dtype),
+            w2.astype(self.dtype),
+            window_strides=(1, 1),
+            padding=((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
 class ResNetBlock(nn.Module):
     """conv3x3-BN-ReLU + conv1x1-BN, with an always-projected identity on the
     first block of a layer (`resnet_blocks.py:4-41`)."""

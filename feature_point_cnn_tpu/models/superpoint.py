@@ -26,6 +26,7 @@ from flax import linen as nn
 from feature_point_cnn_tpu.config import SuperPointConfig
 from feature_point_cnn_tpu.models.blocks import (
     ResNetLayer,
+    S2DStemConv,
     TorchConvTranspose,
     batch_norm,
     torch_conv,
@@ -38,11 +39,17 @@ class Encoder(nn.Module):
     128/2 (`superpoint.py:8-26`)."""
 
     dtype: Any = jnp.bfloat16
+    stem_s2d: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         dt = self.dtype
-        x = torch_conv(64, 7, 2, 3, dtype=dt, name="conv1")(x)
+        if self.stem_s2d:
+            # exact reparametrization of the 7x7/2 conv — same `conv1/kernel`
+            # param, MXU-friendly geometry (blocks.py::S2DStemConv)
+            x = S2DStemConv(64, dtype=dt, name="conv1")(x)
+        else:
+            x = torch_conv(64, 7, 2, 3, dtype=dt, name="conv1")(x)
         x = batch_norm(train, dt, "bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(
@@ -121,7 +128,12 @@ class SuperPoint(nn.Module):
         b, h, w, _ = image.shape
         hc, wc = cfg.grid_size(h, w)
 
-        x = Encoder(dtype=dt, name="encoder")(image.astype(dt), train)
+        stem_s2d = cfg.stem_s2d == "on" or (
+            cfg.stem_s2d == "auto" and jax.default_backend() == "tpu"
+        )
+        x = Encoder(dtype=dt, stem_s2d=stem_s2d, name="encoder")(
+            image.astype(dt), train
+        )
         logits, embeddings = Detector(dtype=dt, name="detector")(x, train)
         logits = logits.astype(jnp.float32)
 

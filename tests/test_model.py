@@ -139,3 +139,27 @@ def test_maxpool_matches_torch(rng):
         .transpose(0, 2, 3, 1)
     )
     np.testing.assert_allclose(got, want)
+
+
+def test_s2d_stem_exact(rng):
+    """`stem_s2d="on"` computes the identical function from the identical
+    param tree (blocks.py::S2DStemConv is an exact reparametrization of the
+    7x7/2/pad-3 stem, `superpoint.py:12-26`)."""
+    cfg_off = SuperPointConfig(compute_dtype="float32", stem_s2d="off")
+    cfg_on = SuperPointConfig(compute_dtype="float32", stem_s2d="on")
+    m_off, variables = init_superpoint(jax.random.PRNGKey(3), cfg_off, (64, 96))
+    m_on, v_on = init_superpoint(jax.random.PRNGKey(3), cfg_on, (64, 96))
+    assert jax.tree_util.tree_structure(variables) == (
+        jax.tree_util.tree_structure(v_on)
+    )
+    img = jax.random.uniform(jax.random.PRNGKey(4), (2, 64, 96, 3))
+    out_off = jax.jit(lambda v, im: m_off.apply(v, im, train=False))(
+        variables, img
+    )
+    out_on = jax.jit(lambda v, im: m_on.apply(v, im, train=False))(
+        variables, img
+    )
+    for a, b in zip(out_off, out_on):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-4
+        )
