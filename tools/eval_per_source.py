@@ -35,6 +35,12 @@ def main() -> None:
     ap.add_argument("--eps", type=float, default=3.0)
     ap.add_argument("--max-keypoints", type=int, default=512)
     ap.add_argument("--subpixel", action="store_true")
+    ap.add_argument("--mild", action="store_true",
+                    help="HPatches-like warp family (rotation <= 30 deg, "
+                         "scale 0.85-1.15, patch ratio 0.8) instead of the "
+                         "reference's full augmentation distribution "
+                         "(+-90 deg, ratio 0.5) — isolates how much of the "
+                         "accuracy gap is the eval's warp harshness")
     opt = ap.parse_args()
 
     from feature_point_cnn_tpu.config import HomographyConfig, SuperPointConfig
@@ -55,7 +61,14 @@ def main() -> None:
         if len(by_source[sid]) < opt.per_source:
             by_source[sid].append(str(p))
 
+    import math
+
     homo = HomographyConfig()
+    if opt.mild:
+        homo = HomographyConfig(
+            max_angle=math.pi / 6, scaling_amplitude=0.15, patch_ratio=0.8,
+            perspective_amplitude_x=0.05, perspective_amplitude_y=0.05,
+        )
     rows = {}
     keys = (
         "repeatability", "localization_error", "match_precision",
