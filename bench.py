@@ -47,12 +47,22 @@ import numpy as np
 
 def _median_fetch_seconds(fn, n, *args) -> float:
     """Median wall time of ``float(fn(*args))`` — the fetch forces device
-    completion (block_until_ready does not, through the relay)."""
+    completion (block_until_ready does not, through the relay).
+
+    Host→device transfers are DISALLOWED inside the timed region: BENCH_r03's
+    headline was 3× under-reported because host-resident weight arrays were
+    silently re-uploaded (~8.7 MB through a ~12 MB/s relay) on every timed
+    call.  The guard turns that bug class into a hard error.  The scalar
+    fetch itself is device→host and stays allowed.
+    """
+    import jax
+
     ts = []
-    for _ in range(n):
-        t0 = time.perf_counter()
-        float(fn(*args))
-        ts.append(time.perf_counter() - t0)
+    with jax.transfer_guard_host_to_device("disallow"):
+        for _ in range(n):
+            t0 = time.perf_counter()
+            float(fn(*args))
+            ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
 
 
@@ -69,21 +79,31 @@ def main() -> None:
     cfg = SuperPointConfig(max_keypoints=1024)
     model, variables = init_superpoint(jax.random.PRNGKey(0), cfg, (h, w))
 
-    # bench the COMMITTED trained weights when present: NMS's while_loop
+    # bench the RELEASED trained weights when present: NMS's while_loop
     # trip count is data-dependent, so a trained score map is the honest
-    # input distribution (random init fires near-uniformly)
-    from pathlib import Path
+    # input distribution (random init fires near-uniformly).  Selection is
+    # pinned by weights/RELEASED so bench/eval/serve all measure the SAME
+    # artifact; override with `python bench.py --weights X.npz`.  Loaded
+    # variables are committed to the device ONCE — feeding host numpy into
+    # the timed loop was the round-3 8.7 MB-per-call relay-upload artifact.
+    import sys
 
-    wdir = Path(__file__).resolve().parent / "weights"
     weights_used = "random_init"
-    snaps = sorted(wdir.glob("superpoint*.npz")) or sorted(wdir.glob("*.npz"))
-    snaps = [str(p) for p in snaps]
-    if snaps:
-        from feature_point_cnn_tpu.utils.weights import load_weights
+    try:
+        from feature_point_cnn_tpu.utils.weights import (
+            load_variables,
+            released_path,
+        )
 
-        raw = load_weights(snaps[-1])
-        variables = {"params": raw["params"], "batch_stats": raw["batch_stats"]}
-        weights_used = snaps[-1]
+        snap = (
+            sys.argv[sys.argv.index("--weights") + 1]
+            if "--weights" in sys.argv
+            else released_path()
+        )
+        variables = load_variables(snap, device=True)
+        weights_used = snap
+    except FileNotFoundError:
+        variables = jax.device_put(variables)
 
     extract = functools.partial(extract_fn, model=model, config=cfg)
     rng = np.random.default_rng(0)
@@ -155,13 +175,14 @@ def main() -> None:
     r_lo, r_hi, b_scan = 2, 10, 32
     fn_lo, fn_hi = scanned(r_lo, b_scan), scanned(r_hi, b_scan)
     diffs = []
-    for _ in range(7):
-        t0 = time.perf_counter()
-        float(fn_lo(variables))
-        t1 = time.perf_counter()
-        float(fn_hi(variables))
-        t2 = time.perf_counter()
-        diffs.append((t2 - t1) - (t1 - t0))
+    with jax.transfer_guard_host_to_device("disallow"):
+        for _ in range(7):
+            t0 = time.perf_counter()
+            float(fn_lo(variables))
+            t1 = time.perf_counter()
+            float(fn_hi(variables))
+            t2 = time.perf_counter()
+            diffs.append((t2 - t1) - (t1 - t0))
     device_s_per_frame = float(np.median(diffs)) / ((r_hi - r_lo) * b_scan)
 
     device = jax.devices()[0]

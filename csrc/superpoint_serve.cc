@@ -200,9 +200,9 @@ int main(int argc, char** argv) {
     const long w = json_int_list(meta, "image_size")[1];
     const long c = json_int(meta, "channels");
     const long k = json_int(meta, "max_keypoints");
-    // "packed" ABI: num_valid + top-N f16 rows instead of full fixed-K f32
-    // arrays (see SuperPointFrontend.export_pjrt) — an ~8x smaller per-frame
-    // readback on a bandwidth-bound link
+    // "packed" ABI: num_valid + top-N rows (f32 coords, f16 descriptors)
+    // instead of full fixed-K f32 arrays (see SuperPointFrontend.export_pjrt)
+    // — a much smaller per-frame readback on a bandwidth-bound link
     const bool packed = json_str(meta, "abi", "full") == "packed";
     const long top_n = packed ? json_int(meta, "top_n") : k;
     auto in_specs = parse_specs(meta, "inputs");

@@ -78,16 +78,19 @@ def load_variables(
     """Latest trainer checkpoint -> inference variables
     (`saveutils.py:6-18` equivalent).  Accepts either an orbax checkpoint
     directory or a portable single-file ``.npz`` snapshot
-    (`utils/weights.py`)."""
+    (`utils/weights.py`).  Variables are committed to the device here —
+    host numpy weights fed into a jitted extract re-upload every parameter
+    on every call (the round-3 benchmark artifact)."""
     if str(checkpoint_dir).endswith(".npz"):
-        from feature_point_cnn_tpu.utils.weights import load_weights
+        from feature_point_cnn_tpu.utils import weights as wsnap
 
-        raw = load_weights(checkpoint_dir)
-        return 0, {"params": raw["params"], "batch_stats": raw["batch_stats"]}
+        return 0, wsnap.load_variables(checkpoint_dir, device=True)
     step, raw = ckpt.restore_latest_raw(ckpt.checkpoint_manager(checkpoint_dir))
     if step is None:
         raise FileNotFoundError(f"no checkpoint under {checkpoint_dir}")
-    return step, {"params": raw["params"], "batch_stats": raw["batch_stats"]}
+    return step, jax.device_put(
+        {"params": raw["params"], "batch_stats": raw["batch_stats"]}
+    )
 
 
 class SuperPointFrontend:
@@ -314,9 +317,11 @@ class SuperPointFrontend:
                     max_l2_dist=cfg.nn_thresh,
                 )
                 num_valid = valid.sum(dtype=jnp.int32)
-                packed = jnp.stack([y, x, score], axis=-1).astype(
-                    jnp.float16
-                )
+                # coordinates stay f32: f16 spacing is 0.5 px for x >= 512
+                # (right fifth of a 640-wide frame), which would destroy
+                # subpixel_refine output; the extra readback is ~1.5 KB at
+                # N=256.  Descriptors are unit-norm, f16-safe.
+                packed = jnp.stack([y, x, score], axis=-1)
                 match_index = jnp.where(m.valid, m.index, -1).astype(
                     jnp.int32
                 )
@@ -339,7 +344,7 @@ class SuperPointFrontend:
             ]
             outputs = [
                 {"name": "num_valid", "shape": [], "dtype": "s32"},
-                {"name": "kp_packed", "shape": [n, 3], "dtype": "f16"},
+                {"name": "kp_packed", "shape": [n, 3], "dtype": "f32"},
                 {"name": "match_index", "shape": [n], "dtype": "s32"},
                 {"name": "desc", "shape": [n, d], "dtype": "f16"},
             ]

@@ -36,16 +36,74 @@ def _flatten(variables) -> Dict[str, np.ndarray]:
 
 
 def save_weights(path: str, variables: dict) -> None:
-    """Write ``variables`` (params + batch_stats pytree) to one ``.npz``."""
+    """Write ``variables`` (params + batch_stats pytree) to one ``.npz``.
+
+    The write is atomic (tmp + ``os.replace``): per-epoch snapshots
+    overwrite one file in place, and that file exists precisely as
+    insurance against a mid-write crash or environment reset.
+    """
     for top in ("params", "batch_stats"):
         if top not in variables:
             raise ValueError(
                 f"variables missing {top!r} collection; got {sorted(variables)}"
             )
+    import os
     from pathlib import Path
 
     Path(path).parent.mkdir(parents=True, exist_ok=True)
-    np.savez_compressed(path, **_flatten(variables))
+    tmp = f"{path}.tmp.npz"  # .npz suffix so savez doesn't append its own
+    np.savez_compressed(tmp, **_flatten(variables))
+    os.replace(tmp, path)
+
+
+def released_path(weights_dir=None) -> str:
+    """Resolve the RELEASED weight snapshot for bench/eval/serve.
+
+    Every published number must come from ONE pinned artifact, so the
+    ``weights/RELEASED`` pointer file (one line: the snapshot filename)
+    is the single source of truth.  Fallback when the pointer is absent:
+    the newest-by-mtime ``superpoint*.npz`` (mtime, NOT lexical sort —
+    ``r10`` would lexically sort before ``r3``).  Raises FileNotFoundError
+    when no snapshot exists at all.
+    """
+    from pathlib import Path
+
+    wdir = Path(weights_dir) if weights_dir else (
+        Path(__file__).resolve().parents[2] / "weights"
+    )
+    pointer = wdir / "RELEASED"
+    if pointer.exists():
+        name = pointer.read_text().strip()
+        path = wdir / name
+        if not path.exists():
+            raise FileNotFoundError(
+                f"{pointer} points at {name!r} but {path} does not exist"
+            )
+        return str(path)
+    snaps = sorted(
+        wdir.glob("superpoint*.npz") or wdir.glob("*.npz"),
+        key=lambda p: p.stat().st_mtime,
+    )
+    if not snaps:
+        raise FileNotFoundError(f"no weight snapshots under {wdir}")
+    return str(snaps[-1])
+
+
+def load_variables(path: str, *, device: bool = True) -> dict:
+    """Load a snapshot as an inference ``variables`` dict, device-resident.
+
+    ``load_weights`` returns host numpy arrays; feeding those straight into
+    a jitted function re-uploads every parameter on EVERY call — through
+    this environment's ~12 MB/s relay that is ~700 ms/call of pure weight
+    transfer, the round-3 benchmark artifact (BENCH_r03: 222 fps reported
+    while the chip itself ran 0.675 ms/frame).  ``device=True`` commits the
+    tree to the default device once, up front.
+    """
+    raw = load_weights(path)
+    variables = {"params": raw["params"], "batch_stats": raw["batch_stats"]}
+    if device:
+        variables = jax.device_put(variables)
+    return variables
 
 
 def load_weights(path: str) -> dict:

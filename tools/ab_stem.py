@@ -93,12 +93,10 @@ def main() -> None:
         cfg = SuperPointConfig(max_keypoints=1024, stem_s2d=stem)
         model, variables = init_superpoint(jax.random.PRNGKey(0), cfg, (h, w))
         if os.path.exists(opt.weights):
-            from feature_point_cnn_tpu.utils.weights import load_weights
+            # device-resident: host numpy re-uploads per call (BENCH_r03 bug)
+            from feature_point_cnn_tpu.utils.weights import load_variables
 
-            raw = load_weights(opt.weights)
-            variables = {
-                "params": raw["params"], "batch_stats": raw["batch_stats"]
-            }
+            variables = load_variables(opt.weights, device=True)
 
         def forward_only(v, x, _model=model):
             _, desc, logits = _model.apply(v, x, train=False)

@@ -28,7 +28,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--weights", required=True)
+    ap.add_argument("--weights", default=None,
+                    help="default: the pinned weights/RELEASED snapshot")
     ap.add_argument("--corpus", default="_data/real_corpus_r3")
     ap.add_argument("--split", default="test2014")
     ap.add_argument("--per-source", type=int, default=6)
@@ -47,6 +48,12 @@ def main() -> None:
     from feature_point_cnn_tpu.eval.benchmark import evaluate_pairs
     from feature_point_cnn_tpu.inference.wrapper import SuperPointFrontend
     from feature_point_cnn_tpu.selflabel.coco import load_and_crop
+
+    if opt.weights is None:
+        from feature_point_cnn_tpu.utils.weights import released_path
+
+        opt.weights = released_path()
+    print(f"# weights: {opt.weights}", flush=True)
 
     cfg = SuperPointConfig(
         max_keypoints=opt.max_keypoints, subpixel_refine=opt.subpixel

@@ -31,7 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--weights", default="weights/magicpoint_synth_r3.npz")
+    ap.add_argument("--weights", default=None, help="default: weights/RELEASED")
     ap.add_argument("--H", type=int, default=480)
     ap.add_argument("--W", type=int, default=640)
     ap.add_argument("--batch", type=int, default=32)
@@ -58,15 +58,19 @@ def main() -> None:
     h, w, b = opt.H, opt.W, opt.batch
     cfg = SuperPointConfig(max_keypoints=1024)
     model, variables = init_superpoint(jax.random.PRNGKey(0), cfg, (h, w))
-    if os.path.exists(opt.weights):
-        from feature_point_cnn_tpu.utils.weights import load_weights
+    # device_put ONCE — host numpy variables would re-upload ~8.7 MB per
+    # timed call through the relay (the BENCH_r03 artifact)
+    try:
+        from feature_point_cnn_tpu.utils.weights import (
+            load_variables,
+            released_path,
+        )
 
-        raw = load_weights(opt.weights)
-        variables = {
-            "params": raw["params"], "batch_stats": raw["batch_stats"]
-        }
-        print(f"# weights: {opt.weights}", flush=True)
-    else:
+        snap = opt.weights or released_path()
+        variables = load_variables(snap, device=True)
+        print(f"# weights: {snap}", flush=True)
+    except FileNotFoundError:
+        variables = jax.device_put(variables)
         print("# weights: random init", flush=True)
 
     def forward_only(v, im):
@@ -139,13 +143,14 @@ def main() -> None:
         drifts over minutes, so each difference is taken within one moment
         rather than between two separately-medianed runs."""
         diffs = []
-        for _ in range(opt.reps):
-            t0 = time.perf_counter()
-            float(fn_lo(*args))
-            t1 = time.perf_counter()
-            float(fn_hi(*args))
-            t2 = time.perf_counter()
-            diffs.append((t2 - t1) - (t1 - t0))
+        with jax.transfer_guard_host_to_device("disallow"):
+            for _ in range(opt.reps):
+                t0 = time.perf_counter()
+                float(fn_lo(*args))
+                t1 = time.perf_counter()
+                float(fn_hi(*args))
+                t2 = time.perf_counter()
+                diffs.append((t2 - t1) - (t1 - t0))
         return float(np.median(diffs))
 
     im = jax.device_put(jnp.asarray(rng.random((b, h, w, 3)), jnp.float32))
