@@ -69,6 +69,38 @@ def _maxpool(x: jnp.ndarray, radius: int) -> jnp.ndarray:
     )
 
 
+def nms_priority_key(scores: jnp.ndarray, dist_thresh: int) -> jnp.ndarray:
+    """Pack a STRICT total order for NMS into the score mantissa.
+
+    Saturated detectors emit plateaus of bit-identical probabilities
+    (measured: 16 equal-score survivors in one 4x4 block on a trained
+    checkerboard response); "max of window" suppression keeps every tied
+    neighbor where sequential greedy keeps one.  The score's low mantissa
+    byte is replaced by a local position priority (unique within any
+    ``(2d+1)²`` window for ``dist_thresh <= 7``), built in the integer
+    domain: scores >= 0, so their f32 bit patterns order monotonically.
+    Ranking is quantized at 2^-15 relative — far below any meaningful
+    confidence difference.  Both the XLA and the Pallas NMS consume this
+    SAME key, so their kept sets are identical even on plateaus (round-4
+    fix: the Pallas kernel previously suppressed on raw scores and kept
+    whole tied plateaus).  Ties between points further than the window
+    apart remain (same local priority), but such points never interact, so
+    the greedy kept set is still unique.
+    """
+    pos = scores > 0.0
+    h, w = scores.shape[-2], scores.shape[-1]
+    assert dist_thresh <= 7, "position priority needs (2d+1)^2 <= 256"
+    win = 2 * dist_thresh + 1
+    yy = jnp.arange(h)[:, None] % win
+    xx = jnp.arange(w)[None, :] % win
+    prio = (255 - (yy * win + xx)).astype(jnp.int32)
+    bits = jax.lax.bitcast_convert_type(scores.astype(jnp.float32), jnp.int32)
+    key = jax.lax.bitcast_convert_type(
+        (bits & ~jnp.int32(0xFF)) | prio[None], jnp.float32
+    )
+    return jnp.where(pos, key, 0.0)
+
+
 def grid_nms(
     scores: jnp.ndarray, dist_thresh: int, num_iters: int = 0
 ) -> jnp.ndarray:
@@ -89,31 +121,14 @@ def grid_nms(
     converge in <6).  A positive ``num_iters`` unrolls that many fixed
     rounds instead (exact only for chains that deep).
 
-    Tie handling: saturated detectors emit PLATEAUS of bit-identical
-    probabilities (measured: 16 equal-score survivors in one 4x4 block on
-    a trained checkerboard response), and "max of window" keeps every tied
-    neighbor where sequential greedy keeps one.  Suppression therefore
-    runs on a STRICT total order: the score's low mantissa byte is
-    replaced by a local position priority (unique within any window for
-    ``dist_thresh <= 7``), built in the integer domain.  This quantizes
-    ranking at 2^-15 relative — far below any meaningful confidence
-    difference — and guarantees survivors are pairwise > ``dist_thresh``
-    apart in inf-norm, which downstream extraction exploits.
+    Tie handling: suppression runs on the strict total order of
+    `nms_priority_key` (score with a local position priority packed into
+    the low mantissa byte), which guarantees survivors are pairwise >
+    ``dist_thresh`` apart in inf-norm — downstream extraction exploits
+    this for its block-max top-K reduction.
     """
     pos = scores > 0.0
-    b, h, w = scores.shape
-    assert dist_thresh <= 7, "position priority needs (2d+1)^2 <= 256"
-    # strict total order: scores >= 0 so their f32 bits order monotonically;
-    # low byte -> (255 - local priority), unique within any (2d+1)^2 window
-    win = 2 * dist_thresh + 1
-    yy = jnp.arange(h)[:, None] % win
-    xx = jnp.arange(w)[None, :] % win
-    prio = (255 - (yy * win + xx)).astype(jnp.int32)
-    bits = jax.lax.bitcast_convert_type(scores.astype(jnp.float32), jnp.int32)
-    key = jax.lax.bitcast_convert_type(
-        (bits & ~jnp.int32(0xFF)) | prio[None], jnp.float32
-    )
-    key = jnp.where(pos, key, 0.0)
+    key = nms_priority_key(scores, dist_thresh)
 
     def one_round(keep):
         suppressed = _maxpool(keep.astype(jnp.float32), dist_thresh) > 0.0
@@ -176,7 +191,9 @@ def extract_keypoints_from_scores(
         from feature_point_cnn_tpu.ops.pallas.nms import grid_nms_pallas
 
         scores = grid_nms_pallas(scores, config.nms_dist)
-        exact_nms = True  # whole-map greedy: spacing >= nms_dist+1 holds
+        # whole-map greedy on the same strict-order key as the XLA path
+        # (grid_nms_pallas packs it internally): spacing >= nms_dist+1 holds
+        exact_nms = True
     else:
         scores = grid_nms(scores, config.nms_dist, config.nms_iters)
         # nms_iters > 0 truncates suppression: deep chains may leave

@@ -2,7 +2,9 @@
 
 Kernel twin of `ops/detection.py::grid_nms` (the reformulation of the
 reference's `corners_nms`, `/root/reference/python/src/nms.py:4-53`): greedy
-NMS as iterated max-pool suppression run to convergence.  The XLA path
+NMS as iterated max-pool suppression run to convergence, on the same
+strict-total-order key (`detection.nms_priority_key`) as the XLA path so
+bit-identical score plateaus resolve deterministically on both.  The XLA path
 round-trips the (H, W) map through HBM every suppression round; here one
 batch item's full score map is pinned in VMEM (480x640 f32 = 1.2 MB, well
 under the ~16 MB budget) and the `lax.while_loop` iterates entirely on-chip
@@ -76,12 +78,25 @@ def grid_nms_pallas(
     scores: jnp.ndarray, dist_thresh: int, interpret: bool | None = None
 ) -> jnp.ndarray:
     """``(B, H, W)`` thresholded scores -> suppressed scores; exact greedy
-    equivalence like `grid_nms(num_iters=0)`."""
+    equivalence like `grid_nms(num_iters=0)`.
+
+    Suppression runs on the SAME strict-total-order key as the XLA path
+    (`detection.nms_priority_key`: local position priority packed into the
+    score's low mantissa byte) — round-4 fix: suppressing on raw scores
+    kept every member of a bit-identical plateau, violating the
+    ``> dist_thresh`` spacing invariant the block-max top-K reduction
+    assumes.  The packing and the score restore are elementwise and fuse
+    into the surrounding XLA program; only the convergence loop runs in
+    the kernel.
+    """
+    from feature_point_cnn_tpu.ops.detection import nms_priority_key
+
     b, h, w = scores.shape
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    key = nms_priority_key(scores, dist_thresh)
     kernel = functools.partial(_nms_kernel, radius=int(dist_thresh))
-    return pl.pallas_call(
+    kept = pl.pallas_call(
         kernel,
         grid=(b,),
         in_specs=[
@@ -98,4 +113,5 @@ def grid_nms_pallas(
             vmem_limit_bytes=64 * 1024 * 1024
         ),
         interpret=interpret,
-    )(scores)
+    )(key)
+    return jnp.where(kept > 0.0, scores, 0.0)

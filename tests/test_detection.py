@@ -172,6 +172,56 @@ def test_grid_nms_convergence_mode_monotone_ramp():
     assert (shallow > 0).sum() < (want > 0).sum()
 
 
+def _plateau_maps():
+    """Adversarial tie inputs: bit-identical score plateaus — the saturated
+    detector failure mode measured on trained checkpoints (RESULTS.md: "16
+    equal-score survivors in one 4x4 block" on a checkerboard response)."""
+    a = np.zeros((H, W), np.float32)
+    a[8:28, 8:28] = 0.25  # one constant block
+    b = np.zeros((H, W), np.float32)
+    b[::2, ::2] = 0.9  # saturated checkerboard: every other pixel tied
+    c = np.full((H, W), 0.015, np.float32)  # whole-map plateau
+    d = np.zeros((H, W), np.float32)
+    d[10:14, 10:14] = 0.5  # tied blocks closer than the window + an
+    d[10:14, 20:24] = 0.5  # isolated tied point
+    d[30, 40] = 0.5
+    return [a, b, c, d]
+
+
+def _greedy_key_oracle(scores, dist):
+    """Greedy NMS on the strict-total-order key both implementations use:
+    the unique deterministic kept set on tied inputs."""
+    key = np.asarray(D.nms_priority_key(jnp.asarray(scores[None]), dist))[0]
+    kept_key = _greedy_nms_oracle(key, dist)
+    return np.where(kept_key > 0, scores, 0.0)
+
+
+def _assert_spacing(kept, dist):
+    """Survivors must be pairwise > dist apart in inf-norm — the invariant
+    the block-max top-K reduction in extract_keypoints assumes."""
+    ys, xs = np.nonzero(kept)
+    for i in range(len(ys)):
+        d_inf = np.maximum(np.abs(ys - ys[i]), np.abs(xs - xs[i]))
+        d_inf[i] = 10**6
+        assert len(ys) == 1 or d_inf.min() > dist
+
+
+def test_grid_nms_plateau_ties_match_key_oracle():
+    """Bit-identical plateaus resolve to the deterministic key-order greedy
+    result — NOT to 'keep every tied neighbor' (round-3/4 fix)."""
+    for scores in _plateau_maps():
+        want = _greedy_key_oracle(scores, 4)
+        got = np.asarray(D.grid_nms(jnp.asarray(scores[None]), 4))[0]
+        np.testing.assert_array_equal(got, want)
+        _assert_spacing(got, 4)
+        # plateau candidates must still be covered: every positive input
+        # pixel lies within dist of some survivor
+        ys, xs = np.nonzero(scores > 0)
+        ky, kx = np.nonzero(got)
+        for y, x in zip(ys, xs):
+            assert (np.maximum(np.abs(ky - y), np.abs(kx - x)) <= 4).any()
+
+
 def test_grid_nms_convergence_under_jit(rng):
     scores = _random_scores(rng, 0.2)
     f = jax.jit(lambda s: D.grid_nms(s, 4))

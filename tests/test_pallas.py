@@ -121,6 +121,54 @@ def test_pallas_nms_matches_greedy_and_xla(rng):
         np.testing.assert_array_equal(got, xla)
 
 
+def test_pallas_nms_plateau_ties_match_xla_and_oracle():
+    """Round-4 regression: the kernel previously suppressed on RAW scores,
+    so bit-identical plateaus kept every tied neighbor — violating the
+    spacing invariant the block-max top-K reduction assumes (tied
+    co-survivors in one 4x4 block were silently dropped).  Both paths must
+    now resolve ties identically via the shared priority key."""
+    from tests.test_detection import (
+        _assert_spacing,
+        _greedy_key_oracle,
+        _plateau_maps,
+    )
+
+    from feature_point_cnn_tpu.ops.detection import (
+        extract_keypoints_from_scores,
+        grid_nms,
+    )
+    from feature_point_cnn_tpu.ops.pallas.nms import grid_nms_pallas
+
+    for scores in _plateau_maps():
+        want = _greedy_key_oracle(scores, 4)
+        got = np.asarray(
+            grid_nms_pallas(jnp.asarray(scores[None]), 4, interpret=True)
+        )[0]
+        np.testing.assert_array_equal(got, want)
+        _assert_spacing(got, 4)
+        xla = np.asarray(grid_nms(jnp.asarray(scores[None]), 4))[0]
+        np.testing.assert_array_equal(got, xla)
+
+    # full extraction (incl. the block-max top-K fast path) must agree
+    # between implementations on tied inputs
+    stack = np.stack(_plateau_maps())
+    cfg = SuperPointConfig(max_keypoints=256)
+    kp_on = extract_keypoints_from_scores(
+        jnp.asarray(stack), cfg.replace(use_pallas_nms="on")
+    )
+    kp_off = extract_keypoints_from_scores(
+        jnp.asarray(stack), cfg.replace(use_pallas_nms="off")
+    )
+    np.testing.assert_array_equal(np.asarray(kp_on.y), np.asarray(kp_off.y))
+    np.testing.assert_array_equal(np.asarray(kp_on.x), np.asarray(kp_off.x))
+    np.testing.assert_array_equal(
+        np.asarray(kp_on.valid), np.asarray(kp_off.valid)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(kp_on.score), np.asarray(kp_off.score)
+    )
+
+
 def test_pallas_nms_batched_and_config_gate(rng):
     """Batch grid dimension works, and the extract_keypoints config gate
     produces identical keypoints through either NMS implementation."""
