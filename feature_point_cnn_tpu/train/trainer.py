@@ -127,6 +127,7 @@ class Trainer:
         self.writer = MetricWriter(
             f"{checkpoint_dir}/runs" if write_statistics else None
         )
+        self._graph_written = False
 
         if phase == "magicpoint":
             train_fn = functools.partial(
@@ -176,6 +177,27 @@ class Trainer:
         )
 
     # ------------------------------------------------------------------
+
+    def _write_model_graph(self, step_args) -> None:
+        """Model-graph summary at train start — the reference writes the
+        torch graph via `add_graph` (`basetrainer.py:53-59`); the TPU-native
+        analog is (a) the flax module table (layers, shapes, param counts)
+        and (b) the jitted train step's lowered StableHLO, the program XLA
+        actually compiles."""
+        if self._graph_written:
+            return
+        self._graph_written = True
+        import jax.numpy as jnp
+
+        h, w = self.config.train_image_size
+        img = jnp.zeros((1, h, w, self.config.image_channels), jnp.float32)
+        table = self.model.tabulate(
+            jax.random.PRNGKey(0), img, train=False,
+            console_kwargs={"width": 120, "force_terminal": False},
+        )
+        self.writer.text(f"model/{self.phase}_table", table)
+        hlo = self._train_step.lower(*step_args).as_text()
+        self.writer.text(f"model/{self.phase}_train_step_stablehlo", hlo)
 
     def _write_param_histograms(self, step: int) -> None:
         """Parameter histograms, BN excluded (`basetrainer.py:265-274`)."""
@@ -240,18 +262,23 @@ class Trainer:
         )
         for i, item in enumerate(iterator):
             trace_window.tick(i)
+            if self._fused_loader:
+                L = self.train_loader
+                step_args = (
+                    self.state, L.images, L.points, L.counts, item,
+                    self._key(epoch, i),
+                )
+            else:
+                batch = shard_batch(item, self.mesh)
+                step_args = (self.state, batch, self._key(epoch, i))
+            if not self._graph_written and self.writer._dir is not None:
+                try:  # summaries must never kill training
+                    self._write_model_graph(step_args)
+                except Exception as e:
+                    self._graph_written = True
+                    print(f"[trainer] model-graph summary failed: {e}")
             with profiling.annotate(f"{self.phase}_train_step"):
-                if self._fused_loader:
-                    L = self.train_loader
-                    self.state, metrics = self._train_step(
-                        self.state, L.images, L.points, L.counts, item,
-                        self._key(epoch, i),
-                    )
-                else:
-                    batch = shard_batch(item, self.mesh)
-                    self.state, metrics = self._train_step(
-                        self.state, batch, self._key(epoch, i)
-                    )
+                self.state, metrics = self._train_step(*step_args)
             # fetch metrics (a device sync) only at logging points
             if (i + 1) % self.log_every == 0 or i == 0:
                 m = {k: float(v) for k, v in metrics.items()}

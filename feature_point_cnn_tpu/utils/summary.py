@@ -21,6 +21,7 @@ class MetricWriter:
     def __init__(self, log_dir: Optional[str], backend: str = "auto"):
         self._tb = None
         self._jsonl = None
+        self._dir = log_dir
         if log_dir is None:
             return
         Path(log_dir).mkdir(parents=True, exist_ok=True)
@@ -50,6 +51,23 @@ class MetricWriter:
     def histogram(self, tag: str, values: np.ndarray, step: int) -> None:
         if self._tb is not None:
             self._tb.add_histogram(tag, values, step)
+
+    def text(self, tag: str, text: str, step: int = 0) -> None:
+        """Large text artifact (model graph / program IR).  Written as a
+        plain file next to metrics.jsonl (dependency-free, full content)
+        and, truncated, as a TensorBoard text summary — the analog of the
+        reference's `add_graph` (`basetrainer.py:53-59`): on TPU the
+        authoritative 'graph' is the lowered StableHLO program."""
+        if self._dir is not None:
+            safe = "".join(c if c.isalnum() or c in "-_." else "_" for c in tag)
+            (Path(self._dir) / f"{safe}.txt").write_text(text)
+        if self._tb is not None:
+            limit = 65536
+            body = text if len(text) <= limit else (
+                text[:limit] + f"\n... [{len(text) - limit} bytes truncated; "
+                f"full text next to metrics.jsonl]"
+            )
+            self._tb.add_text(tag, f"```\n{body}\n```", step)
 
     def close(self) -> None:
         if self._tb is not None:

@@ -74,11 +74,23 @@ def mp_trained(tiny_dataset):
     trainer = Trainer(
         CFG, "magicpoint", train, None,
         checkpoint_dir=str(tiny_dataset / "ckpt_mp"),
-        write_statistics=False, log_every=4,
+        write_statistics=True, log_every=4,
     )
     losses = [trainer.train_epoch(e)["loss"] for e in range(6)]
     trainer.save(5)
     return trainer, losses
+
+
+def test_model_graph_summary_written(mp_trained, tiny_dataset):
+    """Train start writes the model-graph analog of the reference's
+    `add_graph` (`basetrainer.py:53-59`): the flax module table and the
+    jitted train step's StableHLO, as files next to metrics.jsonl."""
+    runs = tiny_dataset / "ckpt_mp" / "runs"
+    table = (runs / "model_magicpoint_table.txt").read_text()
+    assert "SuperPoint" in table and "params" in table
+    hlo = (runs / "model_magicpoint_train_step_stablehlo.txt").read_text()
+    assert "stablehlo" in hlo or "module @" in hlo
+    assert (runs / "metrics.jsonl").exists()
 
 
 def test_magicpoint_loss_decreases(mp_trained):
