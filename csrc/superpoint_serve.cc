@@ -51,6 +51,11 @@ long json_int(const std::string& s, const std::string& key) {
   return std::strtol(s.c_str() + pos + 1, nullptr, 10);
 }
 
+long json_int_or(const std::string& s, const std::string& key, long dflt) {
+  if (s.find("\"" + key + "\"") == std::string::npos) return dflt;
+  return json_int(s, key);
+}
+
 std::vector<long> json_int_list(const std::string& s, const std::string& key) {
   auto pos = s.find("\"" + key + "\"");
   if (pos == std::string::npos) throw std::runtime_error("meta missing " + key);
@@ -205,6 +210,9 @@ int main(int argc, char** argv) {
     // — a much smaller per-frame readback on a bandwidth-bound link
     const bool packed = json_str(meta, "abi", "full") == "packed";
     const long top_n = packed ? json_int(meta, "top_n") : k;
+    // batched packed ABI: B frames per execute; the round trip amortizes
+    // over the batch like the Python bench's b64 path
+    const long batch = json_int_or(meta, "batch", 1);
     auto in_specs = parse_specs(meta, "inputs");
     auto out_spec_list = parse_specs(meta, "outputs");
 
@@ -237,11 +245,19 @@ int main(int argc, char** argv) {
     std::unique_ptr<fpc::FrameSource> frame_source;
     if (!input_file.empty()) {
       std::string raw = fpc::read_file(input_file);
-      if (raw.size() != image.data.size()) {
+      const size_t frame_bytes = image.data.size() / batch;
+      if (raw.size() == frame_bytes) {  // one frame: replicate across batch
+        for (long b = 0; b < batch; ++b) {
+          std::memcpy(image.data.data() + b * frame_bytes, raw.data(),
+                      frame_bytes);
+        }
+      } else if (raw.size() == image.data.size()) {
+        std::memcpy(image.data.data(), raw.data(), raw.size());
+      } else {
         throw std::runtime_error("--input size mismatch: want " +
+                                 std::to_string(frame_bytes) + " or " +
                                  std::to_string(image.data.size()) + " bytes");
       }
-      std::memcpy(image.data.data(), raw.data(), raw.size());
     } else {
       frame_source = fpc::OpenSource(source);
     }
@@ -271,8 +287,8 @@ int main(int argc, char** argv) {
                : std::vector<size_t>{0, 1, 2, 3, 4, 5};  // y,x,score,valid,m,mv
     size_t fetch_bytes = 0;
     for (size_t i : fetch_idx) fetch_bytes += out_specs[i].data.size();
-    std::printf("[serve] abi=%s top_n=%ld readback=%zu bytes/frame\n",
-                packed ? "packed" : "full", top_n, fetch_bytes);
+    std::printf("[serve] abi=%s top_n=%ld batch=%ld readback=%zu bytes/exec\n",
+                packed ? "packed" : "full", top_n, batch, fetch_bytes);
 
     auto retire = [&](InFlight& fl) {
       std::vector<fpc::HostArray> got;
@@ -281,9 +297,9 @@ int main(int argc, char** argv) {
       auto s1 = std::chrono::steady_clock::now();
       long n_kp = 0, n_match = 0;
       if (packed) {
-        n_kp = got[0].s32()[0];
+        for (long b = 0; b < batch; ++b) n_kp += got[0].s32()[b];
         const int32_t* mi = got[2].s32();
-        for (long i = 0; i < top_n; ++i) n_match += mi[i] >= 0;
+        for (long i = 0; i < batch * top_n; ++i) n_match += mi[i] >= 0;
       } else {
         for (long i = 0; i < k; ++i) {
           n_kp += got[3].pred()[i] != 0;
@@ -293,7 +309,7 @@ int main(int argc, char** argv) {
       if (fl.index > 0) total_matches += n_match;
       if (fl.index < 3 || fl.index + 1 == frames) {
         std::printf(
-            "[serve] frame %3d: keypoints=%4ld matches=%4ld (latency %.2f ms)\n",
+            "[serve] exec %3d: keypoints=%4ld matches=%4ld (latency %.2f ms)\n",
             fl.index, n_kp, n_match,
             1e3 * std::chrono::duration<double>(s1 - fl.issued).count());
       }
@@ -301,13 +317,19 @@ int main(int argc, char** argv) {
     };
 
     std::chrono::steady_clock::time_point steady_t0;
-    for (int f = 0; f < frames; ++f) {
-      if (frame_source &&
-          !frame_source->GetFrame(image.f32(), static_cast<int>(h),
-                                  static_cast<int>(w), static_cast<int>(c))) {
-        std::printf("[serve] frame source exhausted after %d frames\n", f);
-        break;
+    bool exhausted = false;
+    for (int f = 0; f < frames && !exhausted; ++f) {
+      const long frame_elems = h * w * c;
+      for (long b = 0; frame_source && b < batch; ++b) {
+        if (!frame_source->GetFrame(image.f32() + b * frame_elems,
+                                    static_cast<int>(h), static_cast<int>(w),
+                                    static_cast<int>(c))) {
+          std::printf("[serve] frame source exhausted after %d executes\n", f);
+          exhausted = true;
+          break;
+        }
       }
+      if (exhausted) break;
       InFlight fl;
       fl.index = f;
       fl.issued = std::chrono::steady_clock::now();
@@ -325,13 +347,17 @@ int main(int argc, char** argv) {
         // count) are fed back as device buffers (futures: later executes
         // chain on them without any host round trip; the reference copies
         // descriptors out per frame, superpoint.cc:98-152).  Retired
-        // synchronously so the steady-state clock starts clean.
-        const size_t desc_i = packed ? 3 : 6;
+        // synchronously so the steady-state clock starts clean.  Batched
+        // exports carry the feedback as dedicated (key_desc_out,
+        // key_num_out) outputs because the per-frame arrays gained a batch
+        // dimension.
+        const size_t desc_i = packed ? (batch > 1 ? 4 : 3) : 6;
+        const size_t num_i = packed ? (batch > 1 ? 5 : 0) : 3;
         key_desc_dev = std::move(fl.outs[desc_i]);
         // pending fetches still read some outs — retire first, then take
         // ownership of the validity/count buffer.
         retire(fl);
-        key_valid_dev = std::move(fl.outs[packed ? 0 : 3]);
+        key_valid_dev = std::move(fl.outs[num_i]);
         steady_t0 = std::chrono::steady_clock::now();
         continue;
       }
@@ -350,10 +376,10 @@ int main(int argc, char** argv) {
                             std::chrono::steady_clock::now() - steady_t0)
                             .count();
       std::printf(
-          "[serve] steady-state: %.1f FPS (pipeline depth %d), "
-          "mean matches %.1f\n",
-          (done - 1) / steady_s, depth,
-          static_cast<double>(total_matches) / (done - 1));
+          "[serve] steady-state: %.1f FPS (pipeline depth %d, batch %ld), "
+          "mean matches/frame %.1f\n",
+          (done - 1) * batch / steady_s, depth, batch,
+          static_cast<double>(total_matches) / ((done - 1) * batch));
     }
   } catch (const std::exception& e) {
     std::fprintf(stderr, "[serve] FATAL: %s\n", e.what());

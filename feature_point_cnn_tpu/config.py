@@ -62,6 +62,12 @@ class SuperPointConfig:
                                       # StableHLO free of an extra custom
                                       # call (RESULTS.md round 2)
 
+    fold_bn: bool = False             # inference-export topology: BatchNorms
+                                      # folded into conv kernel+bias
+                                      # (models/fold.py::fold_batchnorm).
+                                      # Serving/export only — training always
+                                      # uses live BN
+
     stem_s2d: str = "off"             # compute the 7x7/2 stem conv as an
                                       # EXACT space-to-depth 4x4/1 conv on a
                                       # 12-channel input (same params, same

@@ -112,6 +112,11 @@ class SuperPointFrontend:
                 print(
                     f"[frontend] loaded checkpoint step {step} from {checkpoint_dir}"
                 )
+        if config.fold_bn and "batch_stats" in variables:
+            # checkpoints are always the live-BN topology; fold at load
+            from feature_point_cnn_tpu.models.fold import fold_batchnorm
+
+            variables = jax.device_put(fold_batchnorm(variables))
         self.variables = variables
         self._sharded_cache: dict = {}
         self._extract = jax.jit(
@@ -222,6 +227,7 @@ class SuperPointFrontend:
         image_size: Tuple[int, int],
         abi: str = "packed",
         top_n: Optional[int] = None,
+        batch: int = 1,
     ) -> None:
         """Export the full frame program (detect + describe + MATCH against a
         fed-back keyframe — matching stays an on-chip GEMM) for the native
@@ -246,6 +252,13 @@ class SuperPointFrontend:
           of the reference's pinned-buffer readback optimization
           (`/root/reference/cpp/src/superpoint.cc:98-152`).
 
+        ``batch > 1`` (packed only) processes B frames per execute — the
+        native analog of the Python bench's batching: the relay/PCIe round
+        trip amortizes over B frames instead of paying per frame.  The
+        keyframe feedback then comes from two extra outputs
+        (``key_desc_out`` = frame 0's descriptors, ``key_num_out``) so the
+        feedback buffers keep the unbatched key-input shapes.
+
         This replaces the TorchScript-trace + TRTorch-compile path consumed
         by the reference C++ app (`cpp/src/superpoint.cc:11-26`).
         """
@@ -261,6 +274,7 @@ class SuperPointFrontend:
         cfg = self.config
         k, d = cfg.max_keypoints, cfg.descriptor_dim
         assert abi in ("full", "packed"), abi
+        assert batch == 1 or abi == "packed", "batched export is packed-only"
         n = min(top_n or 256, k)
 
         if abi == "full":
@@ -301,6 +315,7 @@ class SuperPointFrontend:
                 {"name": "desc", "shape": [k, d], "dtype": "f32"},
             ]
         else:
+            B = batch
 
             def frame_fn(image, key_desc, key_num):
                 kp, desc = extract_fn(
@@ -308,46 +323,62 @@ class SuperPointFrontend:
                 )
                 # keypoints are score-sorted (lax.top_k), so the first N
                 # rows ARE the top N; invalid slots sit at the tail
-                y, x = kp.y[0][:n], kp.x[0][:n]
-                score, valid = kp.score[0][:n], kp.valid[0][:n]
-                desc_n = jnp.where(valid[:, None], desc[0][:n], 0.0)
+                y, x = kp.y[:, :n], kp.x[:, :n]
+                score, valid = kp.score[:, :n], kp.valid[:, :n]
+                desc_n = jnp.where(valid[..., None], desc[:, :n], 0.0)
                 key_valid = jnp.arange(n) < key_num
-                m = mnn_match(
-                    desc_n, valid, key_desc.astype(jnp.float32), key_valid,
-                    max_l2_dist=cfg.nn_thresh,
-                )
-                num_valid = valid.sum(dtype=jnp.int32)
+                m = jax.vmap(
+                    lambda dn, v: mnn_match(
+                        dn, v, key_desc.astype(jnp.float32), key_valid,
+                        max_l2_dist=cfg.nn_thresh,
+                    )
+                )(desc_n, valid)
+                num_valid = valid.sum(-1, dtype=jnp.int32)       # (B,)
                 # coordinates stay f32: f16 spacing is 0.5 px for x >= 512
                 # (right fifth of a 640-wide frame), which would destroy
                 # subpixel_refine output; the extra readback is ~1.5 KB at
                 # N=256.  Descriptors are unit-norm, f16-safe.
-                packed = jnp.stack([y, x, score], axis=-1)
+                packed = jnp.stack([y, x, score], axis=-1)       # (B, N, 3)
                 match_index = jnp.where(m.valid, m.index, -1).astype(
                     jnp.int32
                 )
-                return num_valid, packed, match_index, desc_n.astype(
-                    jnp.float16
+                desc16 = desc_n.astype(jnp.float16)
+                if B == 1:
+                    # unbatched ABI: scalar count, (N, ...) arrays; the
+                    # desc/num outputs double as the keyframe feedback
+                    return num_valid[0], packed[0], match_index[0], desc16[0]
+                # batched: feedback shapes differ from the per-frame outputs,
+                # so frame 0's key state is exported explicitly
+                return (
+                    num_valid, packed, match_index, desc16,
+                    desc16[0], num_valid[0],
                 )
 
             specs = (
                 jax.ShapeDtypeStruct(
-                    (1, h, w, cfg.image_channels), jnp.float32
+                    (B, h, w, cfg.image_channels), jnp.float32
                 ),
                 jax.ShapeDtypeStruct((n, d), jnp.float16),
                 jax.ShapeDtypeStruct((), jnp.int32),
             )
             inputs = [
-                {"name": "image", "shape": [1, h, w, cfg.image_channels],
+                {"name": "image", "shape": [B, h, w, cfg.image_channels],
                  "dtype": "f32"},
                 {"name": "key_desc", "shape": [n, d], "dtype": "f16"},
                 {"name": "key_num", "shape": [], "dtype": "s32"},
             ]
+            lead = [] if B == 1 else [B]
             outputs = [
-                {"name": "num_valid", "shape": [], "dtype": "s32"},
-                {"name": "kp_packed", "shape": [n, 3], "dtype": "f32"},
-                {"name": "match_index", "shape": [n], "dtype": "s32"},
-                {"name": "desc", "shape": [n, d], "dtype": "f16"},
+                {"name": "num_valid", "shape": lead, "dtype": "s32"},
+                {"name": "kp_packed", "shape": lead + [n, 3], "dtype": "f32"},
+                {"name": "match_index", "shape": lead + [n], "dtype": "s32"},
+                {"name": "desc", "shape": lead + [n, d], "dtype": "f16"},
             ]
+            if B > 1:
+                outputs += [
+                    {"name": "key_desc_out", "shape": [n, d], "dtype": "f16"},
+                    {"name": "key_num_out", "shape": [], "dtype": "s32"},
+                ]
 
         exported = jax_export.export(jax.jit(frame_fn))(*specs)
 
@@ -359,6 +390,7 @@ class SuperPointFrontend:
         )
         meta = {
             "abi": abi,
+            "batch": batch,
             "image_size": [h, w],
             "channels": cfg.image_channels,
             "max_keypoints": k,

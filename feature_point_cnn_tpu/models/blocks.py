@@ -124,6 +124,7 @@ class S2DStemConv(nn.Module):
 
     features: int
     dtype: Any = jnp.float32
+    use_bias: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -144,38 +145,58 @@ class S2DStemConv(nn.Module):
         # space-to-depth: channel index (r, s, ch) to match w2's regrouping
         x2 = x.reshape(b, h // 2, 2, w // 2, 2, c)
         x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
-        return lax.conv_general_dilated(
+        y = lax.conv_general_dilated(
             x2.astype(self.dtype),
             w2.astype(self.dtype),
             window_strides=(1, 1),
             padding=((2, 1), (2, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            y = y + bias.astype(self.dtype)
+        return y
 
 
 class ResNetBlock(nn.Module):
     """conv3x3-BN-ReLU + conv1x1-BN, with an always-projected identity on the
-    first block of a layer (`resnet_blocks.py:4-41`)."""
+    first block of a layer (`resnet_blocks.py:4-41`).
+
+    ``fold_bn=True`` is the inference-export topology: BatchNorms are folded
+    into conv kernel+bias by `models/fold.py::fold_batchnorm`.
+    """
 
     channels: int
     stride: int = 1
     project_identity: bool = False
     dtype: Any = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
-        dt = self.dtype
+        dt, fold = self.dtype, self.fold_bn
         identity = x
-        y = torch_conv(self.channels, 3, self.stride, 1, dtype=dt, name="conv1")(x)
-        y = batch_norm(train, dt, "bn1")(y)
+        y = torch_conv(
+            self.channels, 3, self.stride, 1, use_bias=fold, dtype=dt,
+            name="conv1",
+        )(x)
+        if not fold:
+            y = batch_norm(train, dt, "bn1")(y)
         y = nn.relu(y)
-        y = torch_conv(self.channels, 1, 1, 0, dtype=dt, name="conv2")(y)
-        y = batch_norm(train, dt, "bn2")(y)
+        y = torch_conv(
+            self.channels, 1, 1, 0, use_bias=fold, dtype=dt, name="conv2"
+        )(y)
+        if not fold:
+            y = batch_norm(train, dt, "bn2")(y)
         if self.project_identity:
             identity = torch_conv(
-                self.channels, 1, self.stride, 0, dtype=dt, name="identity_conv"
+                self.channels, 1, self.stride, 0, use_bias=fold, dtype=dt,
+                name="identity_conv",
             )(identity)
-            identity = batch_norm(train, dt, "identity_bn")(identity)
+            if not fold:
+                identity = batch_norm(train, dt, "identity_bn")(identity)
         return nn.relu(y + identity)
 
 
@@ -187,6 +208,7 @@ class ResNetLayer(nn.Module):
     channels: int
     stride: int = 1
     dtype: Any = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -195,10 +217,12 @@ class ResNetLayer(nn.Module):
             stride=self.stride,
             project_identity=True,
             dtype=self.dtype,
+            fold_bn=self.fold_bn,
             name="block0",
         )(x, train)
         for i in range(1, self.num_blocks):
-            x = ResNetBlock(self.channels, dtype=self.dtype, name=f"block{i}")(
-                x, train
-            )
+            x = ResNetBlock(
+                self.channels, dtype=self.dtype, fold_bn=self.fold_bn,
+                name=f"block{i}",
+            )(x, train)
         return x

@@ -40,23 +40,29 @@ class Encoder(nn.Module):
 
     dtype: Any = jnp.bfloat16
     stem_s2d: bool = False
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
-        dt = self.dtype
+        dt, fold = self.dtype, self.fold_bn
         if self.stem_s2d:
             # exact reparametrization of the 7x7/2 conv — same `conv1/kernel`
             # param, MXU-friendly geometry (blocks.py::S2DStemConv)
-            x = S2DStemConv(64, dtype=dt, name="conv1")(x)
+            x = S2DStemConv(64, dtype=dt, use_bias=fold, name="conv1")(x)
         else:
-            x = torch_conv(64, 7, 2, 3, dtype=dt, name="conv1")(x)
-        x = batch_norm(train, dt, "bn1")(x)
+            x = torch_conv(64, 7, 2, 3, use_bias=fold, dtype=dt, name="conv1")(x)
+        if not fold:
+            x = batch_norm(train, dt, "bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(
             x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
         )
-        x = ResNetLayer(2, 64, stride=1, dtype=dt, name="layer1")(x, train)
-        x = ResNetLayer(2, 128, stride=2, dtype=dt, name="layer2")(x, train)
+        x = ResNetLayer(2, 64, stride=1, dtype=dt, fold_bn=fold, name="layer1")(
+            x, train
+        )
+        x = ResNetLayer(2, 128, stride=2, dtype=dt, fold_bn=fold, name="layer2")(
+            x, train
+        )
         return x
 
 
@@ -65,14 +71,16 @@ class Detector(nn.Module):
     embedding consumed by the descriptor head (`superpoint.py:29-36`)."""
 
     dtype: Any = jnp.bfloat16
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(
         self, x: jnp.ndarray, train: bool
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        logits = ResNetLayer(2, 65, stride=1, dtype=self.dtype, name="layer")(
-            x, train
-        )
+        logits = ResNetLayer(
+            2, 65, stride=1, dtype=self.dtype, fold_bn=self.fold_bn,
+            name="layer",
+        )(x, train)
         return logits, x
 
 
@@ -83,15 +91,19 @@ class Descriptor(nn.Module):
 
     dtype: Any = jnp.bfloat16
     descriptor_dim: int = 128
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(
         self, x: jnp.ndarray, embeddings: jnp.ndarray, train: bool
     ) -> jnp.ndarray:
-        dt = self.dtype
-        y = ResNetLayer(2, 256, stride=2, dtype=dt, name="layer_in")(x, train)
+        dt, fold = self.dtype, self.fold_bn
+        y = ResNetLayer(2, 256, stride=2, dtype=dt, fold_bn=fold, name="layer_in")(
+            x, train
+        )
         y = TorchConvTranspose(128, dtype=dt, name="up_sample")(y)
-        y = batch_norm(train, dt, "bn")(y)
+        if not fold:
+            y = batch_norm(train, dt, "bn")(y)
         y = nn.relu(y)
         # crop to the embedding grid: for odd Hc/Wc the doubling transposed
         # conv overshoots by one row/col (the reference crashes at such sizes
@@ -100,7 +112,8 @@ class Descriptor(nn.Module):
         y = y[:, :hc, :wc, :]
         y = jnp.concatenate([y, embeddings.astype(dt)], axis=-1)
         y = ResNetLayer(
-            2, self.descriptor_dim, stride=1, dtype=dt, name="layer_out"
+            2, self.descriptor_dim, stride=1, dtype=dt, fold_bn=fold,
+            name="layer_out",
         )(y, train)
         return y
 
@@ -131,15 +144,21 @@ class SuperPoint(nn.Module):
         stem_s2d = cfg.stem_s2d == "on" or (
             cfg.stem_s2d == "auto" and jax.default_backend() == "tpu"
         )
-        x = Encoder(dtype=dt, stem_s2d=stem_s2d, name="encoder")(
+        fold = cfg.fold_bn
+        if fold and train:
+            raise ValueError("fold_bn is an inference-export topology")
+        x = Encoder(dtype=dt, stem_s2d=stem_s2d, fold_bn=fold, name="encoder")(
             image.astype(dt), train
         )
-        logits, embeddings = Detector(dtype=dt, name="detector")(x, train)
+        logits, embeddings = Detector(dtype=dt, fold_bn=fold, name="detector")(
+            x, train
+        )
         logits = logits.astype(jnp.float32)
 
         if enable_descriptor:
             desc = Descriptor(
-                dtype=dt, descriptor_dim=cfg.descriptor_dim, name="descriptor"
+                dtype=dt, descriptor_dim=cfg.descriptor_dim, fold_bn=fold,
+                name="descriptor",
             )(x, embeddings, train).astype(jnp.float32)
         else:
             desc = jnp.zeros((b, hc, wc, cfg.descriptor_dim), jnp.float32)

@@ -25,11 +25,16 @@ NP_DTYPES = {
 }
 
 
-@pytest.fixture(scope="module", params=["full", "packed"])
+@pytest.fixture(
+    scope="module",
+    params=[("full", 1), ("packed", 1), ("packed", 4)],
+    ids=["full", "packed", "packed_b4"],
+)
 def bundle(request, tmp_path_factory):
-    out = tmp_path_factory.mktemp(f"pjrt_export_{request.param}")
+    abi, batch = request.param
+    out = tmp_path_factory.mktemp(f"pjrt_export_{abi}_b{batch}")
     SuperPointFrontend(CFG).export_pjrt(
-        str(out), (48, 64), abi=request.param, top_n=16
+        str(out), (48, 64), abi=abi, top_n=16, batch=batch
     )
     return out
 
@@ -50,14 +55,21 @@ def test_bundle_layout(bundle):
     else:
         assert meta["top_n"] == 16
         assert names_in == ["image", "key_desc", "key_num"]
-        assert names_out == ["num_valid", "kp_packed", "match_index", "desc"]
+        want_out = ["num_valid", "kp_packed", "match_index", "desc"]
+        if meta["batch"] > 1:
+            # batched exports carry explicit keyframe-feedback outputs (the
+            # per-frame arrays gained a batch dim, key inputs did not)
+            want_out += ["key_desc_out", "key_num_out"]
+            assert meta["inputs"][0]["shape"][0] == meta["batch"]
+        assert names_out == want_out
         # the packed per-frame readback (all but desc) must be far smaller
         # than the full ABI's — the whole point of the ABI
         nbytes = sum(
             int(np.prod(s["shape"])) * np.dtype(NP_DTYPES[s["dtype"]]).itemsize
-            for s in meta["outputs"] if s["name"] != "desc"
+            for s in meta["outputs"]
+            if s["name"] not in ("desc", "key_desc_out")
         )
-        assert nbytes < 500, nbytes
+        assert nbytes < 500 * meta["batch"], nbytes
     # every spec is consumable by the C++ runtime (dtype vocabulary)
     for s in meta["inputs"] + meta["outputs"]:
         assert s["dtype"] in NP_DTYPES
@@ -99,10 +111,19 @@ def test_module_compiles_and_runs(bundle, rng):
         # packed semantics: num_valid counts the score-sorted prefix, scores
         # are descending over the valid prefix, match indices are -1 or in
         # range (zero keyframe -> likely no matches, but stay in contract)
-        n_valid = int(by_name["num_valid"])
-        assert 0 <= n_valid <= meta["top_n"]
-        scores = by_name["kp_packed"][:, 2].astype(np.float32)
-        if n_valid > 1:
-            assert (np.diff(scores[:n_valid]) <= 1e-6).all()
+        nv = np.atleast_1d(by_name["num_valid"])
+        kp = by_name["kp_packed"].reshape(meta["batch"], meta["top_n"], 3)
+        for b in range(meta["batch"]):
+            n_valid = int(nv[b])
+            assert 0 <= n_valid <= meta["top_n"]
+            scores = kp[b, :, 2].astype(np.float32)
+            if n_valid > 1:
+                assert (np.diff(scores[:n_valid]) <= 1e-6).all()
         mi = by_name["match_index"]
         assert ((mi == -1) | ((mi >= 0) & (mi < meta["top_n"]))).all()
+        if meta["batch"] > 1:
+            # keyframe feedback = frame 0's rows exactly
+            np.testing.assert_array_equal(
+                by_name["key_desc_out"], by_name["desc"][0]
+            )
+            assert int(by_name["key_num_out"]) == int(nv[0])

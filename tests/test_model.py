@@ -163,3 +163,76 @@ def test_s2d_stem_exact(rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-4
         )
+
+
+def test_fold_batchnorm_parity(rng):
+    """`fold_bn=True` + `fold_batchnorm(variables)` computes the identical
+    function as the standard model with live BN stats (models/fold.py) —
+    the exactness contract of the inference-export fold."""
+    from feature_point_cnn_tpu.models.fold import fold_batchnorm
+
+    cfg = SuperPointConfig(compute_dtype="float32")
+    model, variables = init_superpoint(jax.random.PRNGKey(5), cfg, (48, 64))
+
+    # make the fold non-trivial: real running stats from train-mode steps
+    # and randomized BN scale/bias (init is scale=1, bias=0, mean=0, var=1,
+    # for which folding is the identity)
+    img = jax.random.uniform(jax.random.PRNGKey(6), (2, 48, 64, 3))
+    for i in range(3):
+        _, upd = model.apply(
+            variables, img + 0.1 * i, train=True, mutable=["batch_stats"]
+        )
+        variables = {"params": variables["params"], **upd}
+
+    def randomize_bn(path, leaf):
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        if "bn" not in name:
+            return leaf
+        k = jax.random.fold_in(jax.random.PRNGKey(7), hash(name) % (2**31))
+        if name.endswith("scale"):
+            return 0.5 + jax.random.uniform(k, leaf.shape)
+        if name.endswith("bias"):
+            return jax.random.normal(k, leaf.shape) * 0.1
+        return leaf
+
+    variables = {
+        "params": jax.tree_util.tree_map_with_path(
+            randomize_bn, variables["params"]
+        ),
+        "batch_stats": variables["batch_stats"],
+    }
+
+    folded = fold_batchnorm(variables)
+    assert "batch_stats" not in folded
+    folded_model = init_superpoint(
+        jax.random.PRNGKey(5), cfg.replace(fold_bn=True), (48, 64)
+    )[0]
+    # the fold output must match the folded topology's param tree exactly
+    ref_tree = init_superpoint(
+        jax.random.PRNGKey(5), cfg.replace(fold_bn=True), (48, 64)
+    )[1]
+    assert jax.tree_util.tree_structure(folded) == (
+        jax.tree_util.tree_structure(ref_tree)
+    )
+
+    test_img = jax.random.uniform(jax.random.PRNGKey(8), (2, 48, 64, 3))
+    out = jax.jit(lambda v, im: model.apply(v, im, train=False))(
+        variables, test_img
+    )
+    out_f = jax.jit(lambda v, im: folded_model.apply(v, im, train=False))(
+        folded, test_img
+    )
+    for a, b in zip(out, out_f):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3
+        )
+
+
+def test_fold_batchnorm_rejects_train_mode():
+    cfg = SuperPointConfig(compute_dtype="float32", fold_bn=True)
+    from feature_point_cnn_tpu.models.superpoint import SuperPoint
+
+    model = SuperPoint(config=cfg)
+    img = jnp.zeros((1, 48, 64, 3), jnp.float32)
+    with pytest.raises(ValueError, match="inference-export"):
+        model.init(jax.random.PRNGKey(0), img, train=True)

@@ -38,6 +38,9 @@ def main() -> None:
     ap.add_argument("--rlo", type=int, default=2)
     ap.add_argument("--rhi", type=int, default=10)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--fold-bn", action="store_true",
+                    help="fold BatchNorms into conv kernel+bias at load "
+                         "(models/fold.py) — the inference-export topology")
     opt = ap.parse_args()
 
     import functools
@@ -56,8 +59,9 @@ def main() -> None:
     from feature_point_cnn_tpu.ops.pallas.decode import decode_threshold_pallas
 
     h, w, b = opt.H, opt.W, opt.batch
-    cfg = SuperPointConfig(max_keypoints=1024)
-    model, variables = init_superpoint(jax.random.PRNGKey(0), cfg, (h, w))
+    cfg = SuperPointConfig(max_keypoints=1024, fold_bn=opt.fold_bn)
+    init_cfg = cfg.replace(fold_bn=False)  # checkpoints are live-BN topology
+    _, variables = init_superpoint(jax.random.PRNGKey(0), init_cfg, (h, w))
     # device_put ONCE — host numpy variables would re-upload ~8.7 MB per
     # timed call through the relay (the BENCH_r03 artifact)
     try:
@@ -72,6 +76,14 @@ def main() -> None:
     except FileNotFoundError:
         variables = jax.device_put(variables)
         print("# weights: random init", flush=True)
+    if opt.fold_bn:
+        from feature_point_cnn_tpu.models.fold import fold_batchnorm
+
+        variables = jax.device_put(fold_batchnorm(variables))
+        print("# fold_bn: on", flush=True)
+    from feature_point_cnn_tpu.models.superpoint import SuperPoint
+
+    model = SuperPoint(config=cfg)
 
     def forward_only(v, im):
         _, desc, logits = model.apply(v, im, train=False)
