@@ -45,23 +45,29 @@ class SuperPointConfig:
                                       # chain depth, lax.while_loop); >0 =
                                       # that many fixed unrolled rounds
                                       # (exact only up to that chain depth)
-    use_pallas_decode: str = "auto"   # fused Pallas decode kernel in serving:
-                                      # "auto" (on TPU), "on", "off"
+    use_pallas_decode: str = "off"    # fused Pallas decode kernel in serving:
+                                      # "auto" (on TPU), "on", "off".  Off
+                                      # since round 4: measured on-chip at
+                                      # 480x640 b32 (trained weights), XLA
+                                      # decode adds 0.009 ms/frame vs the
+                                      # kernel's 0.102 (the kernel's (b,Hc)
+                                      # grid pays ~2k grid-step overheads);
+                                      # round 2's opposite finding predates
+                                      # the NMS priority-key packing, whose
+                                      # bitcasts now stop XLA from re-fusing
+                                      # the decode into the NMS loop
+    use_pallas_nms: str = "auto"      # whole-map-in-VMEM exact-greedy NMS
+                                      # kernel (ops/pallas/nms.py): "auto"
+                                      # (on TPU), "on", "off".  On since
+                                      # round 4 (tie-exact via the shared
+                                      # priority key): XLA-decode + Pallas-
+                                      # NMS measures 0.339 ms/frame vs 0.513
+                                      # for the round-3 default pairing
+                                      # (fwd+dec+nms, same protocol)
     use_pallas_desc_loss: str = "auto"  # blockwise Pallas hinge descriptor
                                       # loss (custom VJP, no (B,N,N) in HBM;
                                       # ops/pallas/descriptor_loss.py):
                                       # "auto" (on TPU), "on", "off"
-    use_pallas_nms: str = "off"       # whole-map-in-VMEM exact-greedy NMS
-                                      # kernel (ops/pallas/nms.py): "auto"
-                                      # (on TPU), "on", "off".  Off by
-                                      # default: measured on-chip A/B at
-                                      # 480x640 2%-density maps is 1.14 ms
-                                      # (pallas) vs 1.24 ms (XLA) — within
-                                      # noise at real serving densities, and
-                                      # the XLA path keeps the exported
-                                      # StableHLO free of an extra custom
-                                      # call (RESULTS.md round 2)
-
     fold_bn: bool = False             # inference-export topology: BatchNorms
                                       # folded into conv kernel+bias
                                       # (models/fold.py::fold_batchnorm).
@@ -100,7 +106,15 @@ class SuperPointConfig:
                                       # uniform, above-threshold) init.
     descriptor_loss: str = "hinge"    # "hinge" (losses.py:194-276) | "mse"
                                       # (the reference's dead alternative,
-                                      # losses.py:137-192)
+                                      # losses.py:137-192) | "hinge_hn"
+                                      # (hard-negative-mined hinge on plain
+                                      # cosine similarity — round-4 quality
+                                      # push, train/loss.py)
+    desc_hn_topk: int = 8             # hinge_hn: hardest negatives mined per
+                                      # cell (each direction)
+    lambda_hn: float = 1.0            # hinge_hn: descriptor-vs-detector
+                                      # weight (pos/neg terms are mean-
+                                      # balanced, so no 250x rebalance)
 
     # --- training (settings.py:17-30) ---
     train_image_size: Tuple[int, int] = (240, 320)

@@ -36,9 +36,11 @@ def extract_fn(
 ) -> Tuple[Keypoints, jnp.ndarray]:
     """The fused serving program (pure; jit at the call site).
 
-    On TPU the decode (softmax + dustbin drop + depth-to-space + threshold)
-    runs as the fused Pallas kernel; the model's own prob-map branch is then
-    dead code and XLA eliminates it.
+    Kernel selection follows the config gates (round-4 measured defaults:
+    XLA decode — it fuses into the conv epilogue for ~0.009 ms/frame — plus
+    the whole-map-in-VMEM Pallas NMS; see config.py for the on-chip A/B
+    numbers).  When the Pallas decode is enabled instead, the model's own
+    prob-map branch is dead code and XLA eliminates it.
     """
     h, w = images.shape[1:3]
     prob, desc_map, logits = model.apply(variables, images, train=False)

@@ -60,6 +60,11 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--magic-point-weights", default="checkpoints_magicpoint")
     tr.add_argument("--limit", type=int, default=0,
                     help="cap items for self-labeling (debug)")
+    tr.add_argument("--descriptor-loss", default=cfg.descriptor_loss,
+                    choices=["hinge", "hinge_hn", "mse"],
+                    help="joint-phase descriptor loss (train/loss.py): the "
+                         "reference hinge, the hard-negative-mined cosine "
+                         "hinge, or the reference's dead MSE alternative")
     tr.add_argument("--photometric-augment", action="store_true",
                     help="on-device photometric augmentation during "
                          "training (noise/blur/contrast; data/photometric.py)")
@@ -82,6 +87,19 @@ def build_parser() -> argparse.ArgumentParser:
                     help="also write a portable single-file .npz weight "
                          "snapshot (utils/weights.py) — git-committable, "
                          "loadable anywhere --weights-path is accepted")
+    ex.add_argument("--pjrt-out", default=None,
+                    help="export a PJRT serving bundle (module.mlir + "
+                         "compile_options.pb + meta.json) for the native "
+                         "csrc/superpoint_serve app instead of bare "
+                         "StableHLO")
+    ex.add_argument("--abi", default="packed", choices=["full", "packed"])
+    ex.add_argument("--top-n", type=int, default=256)
+    ex.add_argument("--batch", type=int, default=1,
+                    help="frames per PJRT execute (packed only): amortizes "
+                         "the host round trip like the Python bench")
+    ex.add_argument("--fold-bn", action="store_true",
+                    help="fold BatchNorms into conv kernel+bias at export "
+                         "(models/fold.py)")
     return p
 
 
@@ -104,6 +122,7 @@ def config_from_args(opt) -> SuperPointConfig:
             microbatch_steps=opt.microbatch_steps,
             epochs=opt.epochs,
             photometric_augment=opt.photometric_augment,
+            descriptor_loss=opt.descriptor_loss,
         )
     return cfg
 
@@ -142,8 +161,16 @@ def main(argv=None) -> None:
     elif opt.run_mode == "export":
         from feature_point_cnn_tpu.inference.wrapper import SuperPointFrontend
 
+        if opt.fold_bn:
+            cfg = cfg.replace(fold_bn=True)
         frontend = SuperPointFrontend(cfg, checkpoint_dir=opt.weights_path)
-        frontend.export_stablehlo(opt.out, (opt.H, opt.W))
+        if opt.pjrt_out:
+            frontend.export_pjrt(
+                opt.pjrt_out, (opt.H, opt.W), abi=opt.abi, top_n=opt.top_n,
+                batch=opt.batch,
+            )
+        else:
+            frontend.export_stablehlo(opt.out, (opt.H, opt.W))
         if opt.raw_weights:
             from feature_point_cnn_tpu.utils.weights import save_weights
 

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from typing import Dict
 
-import jax.numpy as jnp
+import numpy as np
 
 # BN child name -> conv sibling it normalizes (within one module dict)
 _PARTNER = {
@@ -46,6 +46,12 @@ def fold_batchnorm(variables: Dict) -> Dict:
     """``{"params", "batch_stats"}`` of the standard model -> ``{"params"}``
     of the ``fold_bn=True`` model (exact at f32; bf16 compute reorders
     rounding, tested at ~1e-2 relative like the other bf16 parity tests).
+
+    Computed in HOST numpy deliberately: the fold is a few hundred tiny
+    elementwise ops, and running them eagerly on a relay-attached device
+    dispatches (and first-time-compiles) each one as its own program —
+    measured >12 min wall on this environment's relay vs milliseconds on
+    host.  Device arrays are pulled back once (~9 MB).
     """
     params, stats = variables["params"], variables["batch_stats"]
 
@@ -61,12 +67,16 @@ def fold_batchnorm(variables: Dict) -> Dict:
                         f"(siblings: {sorted(p)})"
                     )
                 conv = p[conv_name]
-                mean = s[name]["mean"]
-                var = s[name]["var"]
-                g = child["scale"] * jnp.float32(1.0) / jnp.sqrt(var + _EPS)
-                kernel = conv["kernel"] * g  # (..., O) * (O,)
-                bias = conv.get("bias", jnp.zeros_like(mean))
-                bias = (bias - mean) * g + child["bias"]
+                mean = np.asarray(s[name]["mean"], np.float32)
+                var = np.asarray(s[name]["var"], np.float32)
+                scale = np.asarray(child["scale"], np.float32)
+                beta = np.asarray(child["bias"], np.float32)
+                g = scale / np.sqrt(var + _EPS)
+                kernel = np.asarray(conv["kernel"], np.float32) * g  # (...,O)*(O,)
+                bias = np.asarray(
+                    conv.get("bias", np.zeros_like(mean)), np.float32
+                )
+                bias = (bias - mean) * g + beta
                 out[conv_name] = {"kernel": kernel, "bias": bias}
                 folded_partners.add(conv_name)
             elif _is_bn(child):

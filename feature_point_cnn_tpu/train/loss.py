@@ -182,6 +182,76 @@ def descriptor_loss(
     return jnp.sum(loss * mask[:, None, :]) / normalization
 
 
+def descriptor_hinge_hn_loss(
+    desc: jnp.ndarray,
+    warped_desc: jnp.ndarray,
+    homographies: jnp.ndarray,
+    valid_mask: Optional[jnp.ndarray],
+    config: SuperPointConfig,
+) -> jnp.ndarray:
+    """Hard-negative-mined hinge descriptor loss (round-4 quality push).
+
+    Two deliberate changes vs `descriptor_loss` (the reference formulation,
+    `losses.py:194-276`), both aimed at held-out match PRECISION — the
+    weakest model axis (VERDICT r3):
+
+    * the hinge acts on PLAIN cosine similarities of the unit descriptors
+      (vanilla SuperPoint, arXiv:1712.07629 eq. 4) instead of the
+      reference's relu + per-row/column re-normalized dot matrix, which
+      rescales similarities relative to each row's competitors and makes
+      the fixed margins mean different things per cell;
+    * negatives are MINED: per original cell only the ``desc_hn_topk``
+      hardest non-corresponding warped cells (highest similarity)
+      contribute, instead of averaging ~N easy negatives whose hinge is
+      already zero — the classic hardest-in-batch contrastive recipe
+      (HardNet, arXiv:1705.10872).  Mining is symmetric (per warped cell
+      over original cells too), like mutual-NN matching at serving time.
+
+    Positive and mined-negative terms are each averaged over their own
+    pair counts, so their gradients are balanced without the reference's
+    ``lambda_d=250`` rebalancing; ``config.lambda_hn`` scales the whole
+    descriptor term against the detector CE terms.
+    """
+    b, hc, wc, dd = desc.shape
+    n = hc * wc
+    cell = config.cell
+    k = min(config.desc_hn_topk, n - 1)
+
+    d = _l2_normalize(desc.reshape(b, n, dd).astype(jnp.float32), axis=-1)
+    wd = _l2_normalize(warped_desc.reshape(b, n, dd).astype(jnp.float32), axis=-1)
+    dot = jnp.einsum("bid,bjd->bij", d, wd, preferred_element_type=jnp.float32)
+
+    ys, xs = jnp.meshgrid(jnp.arange(hc), jnp.arange(wc), indexing="ij")
+    centers = (
+        jnp.stack([ys, xs], axis=-1).reshape(n, 2).astype(jnp.float32) * cell
+        + cell // 2
+    )
+    warped_centers = warp_points(centers, homographies)        # (B, N, 2)
+    diff = warped_centers[:, :, None, :] - centers[None, None, :, :]
+    cell_dist = jnp.linalg.norm(diff, axis=-1)                 # (B, N, N)
+    s = (cell_dist < (cell - 0.5)).astype(jnp.float32)
+
+    if valid_mask is None:
+        mask = jnp.ones((b, n), jnp.float32)
+    else:
+        mask = valid_mask.reshape(b, n).astype(jnp.float32)
+    pair_ok = s * mask[:, None, :]                             # (B, N, N)
+
+    pos = jnp.maximum(0.0, config.positive_margin - dot)
+    pos_term = jnp.sum(pos * pair_ok) / jnp.maximum(jnp.sum(pair_ok), 1.0)
+
+    neg = jnp.maximum(0.0, dot - config.negative_margin)
+    # exclude correspondences and masked warped cells from the mining pool
+    neg = jnp.where((s > 0.0) | (mask[:, None, :] == 0.0), -jnp.inf, neg)
+    hard_ij = jax.lax.top_k(neg, k)[0]                         # (B, N, k)
+    hard_ji = jax.lax.top_k(neg.transpose(0, 2, 1), k)[0]      # (B, N, k)
+    hard = jnp.concatenate([hard_ij, hard_ji], axis=-1)
+    hard = jnp.where(jnp.isfinite(hard), hard, 0.0)
+    neg_term = jnp.mean(hard)
+
+    return config.lambda_hn * (pos_term + neg_term)
+
+
 def descriptor_mse_loss(
     desc: jnp.ndarray,
     warped_desc: jnp.ndarray,
@@ -243,6 +313,10 @@ def global_loss(
     )
     if config.descriptor_loss == "mse":
         desc_l = descriptor_mse_loss(desc, warped_desc, homographies, config)
+    elif config.descriptor_loss == "hinge_hn":
+        desc_l = descriptor_hinge_hn_loss(
+            desc, warped_desc, homographies, valid_mask, config
+        )
     else:
         desc_l = descriptor_loss(desc, warped_desc, homographies, valid_mask, config)
     return {

@@ -144,3 +144,94 @@ def test_global_loss_components(rng):
     total = float(out["detector"] + out["warped_detector"] + out["descriptor"])
     np.testing.assert_allclose(float(out["total"]), total, rtol=1e-6)
     assert all(np.isfinite(float(v)) for v in out.values())
+
+
+def _identity_homog():
+    return jnp.tile(
+        jnp.asarray([1, 0, 0, 0, 1, 0, 0, 0], jnp.float32)[None], (B, 1)
+    )
+
+
+def test_hinge_hn_perfect_descriptors_near_zero(rng):
+    """Identity warp + identical, mutually-distant unit descriptors: the
+    positive hinge is 0 (dot=1 >= m_pos) and mined negatives only
+    contribute where cos > m_neg."""
+    cfg = CFG.replace(descriptor_loss="hinge_hn", desc_hn_topk=4)
+    # near-orthogonal descriptors: distinct one-hot-ish rows
+    d = np.zeros((B, HC * WC, DD), np.float32)
+    for i in range(HC * WC):
+        d[:, i, i % DD] = 1.0
+        d[:, i, (i // DD) % DD] += 0.3
+    d = d.reshape(B, HC, WC, DD)
+    got = float(
+        LS.descriptor_hinge_hn_loss(
+            jnp.asarray(d), jnp.asarray(d), _identity_homog(), None, cfg
+        )
+    )
+    # positives are exactly zero; negatives are bounded by the max
+    # off-correspondence cosine minus the margin
+    assert 0.0 <= got < 0.5, got
+
+
+def test_hinge_hn_separates_good_from_bad(rng):
+    """Matched descriptors under the identity warp must score LOWER than
+    shuffled (mismatched) descriptors — the basic metric-learning order."""
+    cfg = CFG.replace(descriptor_loss="hinge_hn", desc_hn_topk=4)
+    d = rng.standard_normal((B, HC, WC, DD)).astype(np.float32)
+    perm = rng.permutation(HC * WC)
+    d_bad = d.reshape(B, -1, DD)[:, perm].reshape(B, HC, WC, DD)
+    h = _identity_homog()
+    good = float(
+        LS.descriptor_hinge_hn_loss(jnp.asarray(d), jnp.asarray(d), h, None, cfg)
+    )
+    bad = float(
+        LS.descriptor_hinge_hn_loss(
+            jnp.asarray(d), jnp.asarray(d_bad), h, None, cfg
+        )
+    )
+    assert good < bad, (good, bad)
+
+
+def test_hinge_hn_gradients_finite_incl_zero_rows(rng):
+    """Gradient flows and stays finite even with exactly-zero descriptor
+    rows (the relu'd early-training state that NaN'd the naive L2 norm)."""
+    cfg = CFG.replace(descriptor_loss="hinge_hn")
+    d = rng.standard_normal((B, HC, WC, DD)).astype(np.float32)
+    wd = rng.standard_normal((B, HC, WC, DD)).astype(np.float32)
+    wd[:, 0, 0] = 0.0  # exactly-zero row
+    mask = np.ones((B, HC, WC), np.float32)
+    mask[:, -1] = 0.0
+
+    def f(a, b):
+        return LS.descriptor_hinge_hn_loss(
+            a, b, _identity_homog(), jnp.asarray(mask), cfg
+        )
+
+    val, grads = jax.value_and_grad(f, argnums=(0, 1))(
+        jnp.asarray(d), jnp.asarray(wd)
+    )
+    assert np.isfinite(float(val))
+    for g in grads:
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).sum()) > 0.0
+
+
+def test_global_loss_hinge_hn_wiring(rng):
+    cfg = CFG.replace(descriptor_loss="hinge_hn")
+    logits = jnp.asarray(rng.standard_normal((B, HC, WC, 65)), jnp.float32)
+    targets = jnp.asarray(rng.integers(0, 65, (B, HC, WC)), jnp.int32)
+    desc = jnp.asarray(rng.standard_normal((B, HC, WC, DD)), jnp.float32)
+    wdesc = jnp.asarray(rng.standard_normal((B, HC, WC, DD)), jnp.float32)
+    out = LS.global_loss(
+        logits, targets, logits, targets, desc, wdesc, _identity_homog(),
+        None, cfg,
+    )
+    want = float(
+        LS.descriptor_hinge_hn_loss(desc, wdesc, _identity_homog(), None, cfg)
+    )
+    np.testing.assert_allclose(float(out["descriptor"]), want, rtol=1e-6)
+    np.testing.assert_allclose(
+        float(out["total"]),
+        float(out["detector"] + out["warped_detector"] + out["descriptor"]),
+        rtol=1e-6,
+    )

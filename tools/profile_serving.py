@@ -113,6 +113,24 @@ def main() -> None:
         s = grid_nms_pallas(s, cfg.nms_dist)
         return jnp.sum(s) + jnp.sum(desc)
 
+    def fwd_decxla_nms_pallas(v, im):
+        # the cross pairing: XLA decode (fuses into the conv epilogue, near
+        # free) + Pallas NMS (a custom call — XLA CANNOT fuse the decode
+        # into its suppression loop and recompute it per round, which is
+        # what makes decode_xla + nms_xla slow)
+        from feature_point_cnn_tpu.ops.pallas.nms import grid_nms_pallas
+
+        prob, desc, _ = model.apply(v, im, train=False)
+        s = jnp.where(prob >= cfg.confidence_thresh, prob, 0.0)
+        s = grid_nms_pallas(s, cfg.nms_dist)
+        return jnp.sum(s) + jnp.sum(desc)
+
+    def fwd_decxla_nms_xla(v, im):
+        prob, desc, _ = model.apply(v, im, train=False)
+        s = jnp.where(prob >= cfg.confidence_thresh, prob, 0.0)
+        s = grid_nms(s, cfg.nms_dist, cfg.nms_iters)
+        return jnp.sum(s) + jnp.sum(desc)
+
     def fwd_dec_nms_topk(v, im):
         _, desc, logits = model.apply(v, im, train=False)
         s = decode_threshold_pallas(logits, cfg.cell, cfg.confidence_thresh)
@@ -173,6 +191,8 @@ def main() -> None:
         ("fwd+decode_xla", fwd_decode_xla),
         ("fwd+dec+nms_xla", fwd_dec_nms_xla),
         ("fwd+dec+nms_pallas", fwd_dec_nms_pallas),
+        ("fwd+decxla+nms_pallas", fwd_decxla_nms_pallas),
+        ("fwd+decxla+nms_xla", fwd_decxla_nms_xla),
         ("fwd+dec+nms+topk", fwd_dec_nms_topk),
         ("full_extract", full_extract),
         ("full+match", full_pipeline),
