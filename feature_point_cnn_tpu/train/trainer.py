@@ -106,10 +106,21 @@ class Trainer:
             self.start_epoch = restored_epoch + 1
             print(f"[trainer] resumed epoch {restored_epoch} from {checkpoint_dir}")
         elif phase == "superpoint" and magicpoint_checkpoint_dir:
-            mp_manager = ckpt.checkpoint_manager(magicpoint_checkpoint_dir)
-            # raw restore: the MagicPoint optimizer state (frozen descriptor)
-            # has a different structure than ours; only params/stats matter
-            mp_epoch, mp_raw = ckpt.restore_latest_raw(mp_manager)
+            if str(magicpoint_checkpoint_dir).endswith(".npz"):
+                # portable snapshot graft: the committed `.npz` is the only
+                # artifact that survives an environment reset (the orbax dir
+                # is gitignored), so `--magic-point-weights X.npz` must work
+                from feature_point_cnn_tpu.utils import weights as wsnap
+
+                mp_epoch, mp_raw = 0, wsnap.load_weights(
+                    magicpoint_checkpoint_dir
+                )
+            else:
+                mp_manager = ckpt.checkpoint_manager(magicpoint_checkpoint_dir)
+                # raw restore: the MagicPoint optimizer state (frozen
+                # descriptor) has a different structure than ours; only
+                # params/stats matter
+                mp_epoch, mp_raw = ckpt.restore_latest_raw(mp_manager)
             if mp_epoch is not None:
                 params, stats = ckpt.graft_pretrained(
                     state.params, state.batch_stats,

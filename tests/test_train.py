@@ -137,6 +137,34 @@ def test_resume_and_superpoint_graft(tiny_dataset, mp_trained):
     assert np.isfinite(ev["loss"]) and 0.0 <= ev["f1"] <= 1.0
 
 
+def test_superpoint_graft_from_npz_snapshot(tiny_dataset, mp_trained):
+    """`--magic-point-weights X.npz` grafts from the portable snapshot —
+    the committed `.npz` is the only artifact surviving an environment
+    reset (the orbax dir is gitignored), so the graft path must accept it."""
+    from feature_point_cnn_tpu.utils import weights as wsnap
+
+    trainer, _ = mp_trained
+    snap = tiny_dataset / "mp_snapshot.npz"
+    wsnap.save_weights(
+        str(snap),
+        {"params": trainer.state.params,
+         "batch_stats": trainer.state.batch_stats},
+    )
+    train, test = _loaders(tiny_dataset)
+    sp = Trainer(
+        CFG, "superpoint", train, test,
+        checkpoint_dir=str(tiny_dataset / "ckpt_sp_npz"),
+        magicpoint_checkpoint_dir=str(snap),
+        homo_config=HOMO,
+        write_statistics=False, log_every=2,
+    )
+    enc_equal = jax.tree_util.tree_map(
+        lambda a, b: np.allclose(np.asarray(a), np.asarray(b)),
+        sp.state.params["encoder"], trainer.state.params["encoder"],
+    )
+    assert all(jax.tree_util.tree_leaves(enc_equal))
+
+
 def test_superpoint_step_runs_standalone(rng):
     """One jitted joint step end-to-end with on-device augmentation."""
     model, variables = init_superpoint(jax.random.PRNGKey(0), CFG)
