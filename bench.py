@@ -67,6 +67,9 @@ def _median_fetch_seconds(fn, n, *args) -> float:
 
 
 def main() -> None:
+    from feature_point_cnn_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 

@@ -148,6 +148,10 @@ def main(argv=None) -> None:
     opt = build_parser().parse_args(argv)
     cfg = config_from_args(opt)
 
+    from feature_point_cnn_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     if opt.run_mode == "inference":
         from feature_point_cnn_tpu.inference.demo import run_demo
 

@@ -159,3 +159,18 @@ def test_portable_weights_roundtrip(tmp_path):
 
     step, loaded = load_variables(cfg, path)
     assert step == 0 and set(loaded) == {"params", "batch_stats"}
+
+
+def test_compilation_cache_enabled(tmp_path):
+    """Entry points persist compiled executables (utils/cache.py): a cold
+    process pays a ~25-min relay compile for the eval program, so every
+    CLI/tool turns the disk cache on."""
+    from feature_point_cnn_tpu.utils.cache import enable_compilation_cache
+
+    path = enable_compilation_cache(str(tmp_path / "cache"))
+    import jax
+
+    assert jax.config.jax_compilation_cache_dir == path
+    import os
+
+    assert os.path.isdir(path)

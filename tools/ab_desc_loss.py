@@ -18,6 +18,9 @@ import numpy as np
 
 
 def main() -> None:
+    from feature_point_cnn_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--H", type=int, default=240)
     ap.add_argument("--W", type=int, default=320)
