@@ -246,9 +246,11 @@ class SuperPointFrontend:
           ~537 KB at K=1024/D=128).
         * ``abi="packed"`` (default) — the top ``top_n`` score-sorted rows
           only (`lax.top_k` output is descending, so slicing is exact), as
-          ``num_valid`` (s32) + one ``(N, 3) f16`` [y, x, score] array +
-          ``(N,) s32`` match indices (-1 = no match) + ``(N, D) f16``
-          descriptors: ~70 KB at N=256 — an ~8x D2H cut.  The keyframe
+          ``num_valid`` (s32) + one ``(N, 3) f32`` [y, x, score] array
+          (f32, not f16: half spacing is 0.5 px beyond x=512, which would
+          destroy subpixel refinement) + ``(N,) s32`` match indices
+          (-1 = no match) + ``(N, D) f16`` descriptors: ~71 KB at N=256 —
+          an ~8x D2H cut.  The keyframe
           feeds back as (desc_f16, num_valid) device buffers, so the host
           never touches descriptor bytes.  This is the TPU-native analog
           of the reference's pinned-buffer readback optimization
