@@ -60,6 +60,11 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--magic-point-weights", default="checkpoints_magicpoint")
     tr.add_argument("--limit", type=int, default=0,
                     help="cap items for self-labeling (debug)")
+    tr.add_argument("--shard-index", type=int, default=0,
+                    help="self-labeling: this host's shard of the file "
+                         "list (embarrassingly parallel across hosts)")
+    tr.add_argument("--num-shards", type=int, default=1,
+                    help="self-labeling: total hosts sharding the file list")
     tr.add_argument("--descriptor-loss", default=cfg.descriptor_loss,
                     choices=["hinge", "hinge_hn", "mse"],
                     help="joint-phase descriptor loss (train/loss.py): the "
@@ -203,7 +208,8 @@ def main(argv=None) -> None:
             from feature_point_cnn_tpu.selflabel.coco import preprocess_coco
 
             preprocess_coco(
-                opt.coco_path, opt.magic_point_weights, cfg, limit=opt.limit
+                opt.coco_path, opt.magic_point_weights, cfg, limit=opt.limit,
+                shard_index=opt.shard_index, num_shards=opt.num_shards,
             )
         elif opt.coco_path and opt.magic_point:
             print("MagicPoint training on labeled COCO...")

@@ -174,3 +174,33 @@ def test_compilation_cache_enabled(tmp_path):
     import os
 
     assert os.path.isdir(path)
+
+
+def test_selflabel_folder_shards_partition(frontend, tmp_path):
+    """Multi-host self-labeling (`preprocess_folder` shard_index/num_shards,
+    CLI --shard-index/--num-shards): two shards must partition the folder —
+    together they label every item exactly once, with no overlap."""
+    import cv2
+
+    from feature_point_cnn_tpu.selflabel.coco import preprocess_folder
+
+    src = tmp_path / "imgs"
+    src.mkdir()
+    rng = np.random.default_rng(3)
+    for i in range(5):
+        img = (rng.uniform(0, 255, (48, 64))).astype(np.uint8)
+        cv2.imwrite(str(src / f"im{i}.jpg"), cv2.cvtColor(img, cv2.COLOR_GRAY2BGR))
+
+    kw = dict(batch_size=1, use_mesh=False, seed=0)
+    n0 = preprocess_folder(frontend, str(src), str(tmp_path / "s0"), HOMO,
+                           shard_index=0, num_shards=2, **kw)
+    n1 = preprocess_folder(frontend, str(src), str(tmp_path / "s1"), HOMO,
+                           shard_index=1, num_shards=2, **kw)
+    assert n0 + n1 == 5
+    got = sorted(
+        p.name for d in ("s0", "s1") for p in (tmp_path / d).glob("*.npz")
+    )
+    assert got == [f"im{i}.npz" for i in range(5)]
+    assert not set(
+        p.name for p in (tmp_path / "s0").glob("*.npz")
+    ) & set(p.name for p in (tmp_path / "s1").glob("*.npz"))
