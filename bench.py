@@ -92,21 +92,28 @@ def main() -> None:
     import sys
 
     weights_used = "random_init"
-    try:
-        from feature_point_cnn_tpu.utils.weights import (
-            load_variables,
-            released_path,
-        )
+    from feature_point_cnn_tpu.utils.weights import (
+        load_variables,
+        released_path,
+    )
 
-        snap = (
-            sys.argv[sys.argv.index("--weights") + 1]
-            if "--weights" in sys.argv
-            else released_path()
-        )
+    if "--weights" in sys.argv:
+        # an EXPLICITLY pinned artifact must exist — a typo'd path
+        # silently benchmarking random init would publish fake numbers
+        idx = sys.argv.index("--weights") + 1
+        if idx >= len(sys.argv):
+            raise SystemExit("--weights requires a path argument")
+        snap = sys.argv[idx]
         variables = load_variables(snap, device=True)
         weights_used = snap
-    except FileNotFoundError:
-        variables = jax.device_put(variables)
+    else:
+        try:
+            snap = released_path()
+            variables = load_variables(snap, device=True)
+            weights_used = snap
+        except FileNotFoundError:
+            # no snapshot in the checkout at all: random init, and say so
+            variables = jax.device_put(variables)
 
     extract = functools.partial(extract_fn, model=model, config=cfg)
     rng = np.random.default_rng(0)

@@ -263,6 +263,7 @@ int main(int argc, char** argv) {
     }
 
     long total_matches = 0;
+    long steady_frames = 0;  // real (non-padding) frames past the keyframe
     int done = 0;
     // device-resident keyframe state (fed back without host round trips)
     fpc::DeviceBuffer key_desc_dev = rt.Upload(key_desc);
@@ -273,6 +274,8 @@ int main(int argc, char** argv) {
     // buffers must outlive the pending fetches.
     struct InFlight {
       int index = 0;
+      long real = 0;  // staged real frames this execute (< batch when the
+                      // source drained mid-batch and the tail is padding)
       std::vector<fpc::DeviceBuffer> outs;
       std::vector<fpc::PjrtRuntime::PendingFetch> fetches;
       std::chrono::steady_clock::time_point issued;
@@ -297,16 +300,19 @@ int main(int argc, char** argv) {
       auto s1 = std::chrono::steady_clock::now();
       long n_kp = 0, n_match = 0;
       if (packed) {
-        for (long b = 0; b < batch; ++b) n_kp += got[0].s32()[b];
+        for (long b = 0; b < fl.real; ++b) n_kp += got[0].s32()[b];
         const int32_t* mi = got[2].s32();
-        for (long i = 0; i < batch * top_n; ++i) n_match += mi[i] >= 0;
+        for (long i = 0; i < fl.real * top_n; ++i) n_match += mi[i] >= 0;
       } else {
         for (long i = 0; i < k; ++i) {
           n_kp += got[3].pred()[i] != 0;
           n_match += got[5].pred()[i] != 0;
         }
       }
-      if (fl.index > 0) total_matches += n_match;
+      if (fl.index > 0) {
+        total_matches += n_match;
+        steady_frames += fl.real;
+      }
       if (fl.index < 3 || fl.index + 1 == frames) {
         std::printf(
             "[serve] exec %3d: keypoints=%4ld matches=%4ld (latency %.2f ms)\n",
@@ -320,6 +326,7 @@ int main(int argc, char** argv) {
     bool exhausted = false;
     for (int f = 0; f < frames && !exhausted; ++f) {
       const long frame_elems = h * w * c;
+      long staged = frame_source ? 0 : batch;
       for (long b = 0; frame_source && b < batch; ++b) {
         if (!frame_source->GetFrame(image.f32() + b * frame_elems,
                                     static_cast<int>(h), static_cast<int>(w),
@@ -328,10 +335,21 @@ int main(int argc, char** argv) {
           exhausted = true;
           break;
         }
+        staged = b + 1;
       }
-      if (exhausted) break;
+      if (exhausted) {
+        if (staged == 0) break;
+        // pad the tail with the last real frame so the partial batch still
+        // executes; retire() counts only the `real` slots
+        for (long b = staged; b < batch; ++b) {
+          std::memcpy(image.f32() + b * frame_elems,
+                      image.f32() + (staged - 1) * frame_elems,
+                      sizeof(float) * frame_elems);
+        }
+      }
       InFlight fl;
       fl.index = f;
+      fl.real = staged;
       fl.issued = std::chrono::steady_clock::now();
       // Upload copies out of `image` before returning, so the single host
       // staging array is safely reused next iteration.
@@ -378,8 +396,8 @@ int main(int argc, char** argv) {
       std::printf(
           "[serve] steady-state: %.1f FPS (pipeline depth %d, batch %ld), "
           "mean matches/frame %.1f\n",
-          (done - 1) * batch / steady_s, depth, batch,
-          static_cast<double>(total_matches) / ((done - 1) * batch));
+          steady_frames / steady_s, depth, batch,
+          static_cast<double>(total_matches) / steady_frames);
     }
   } catch (const std::exception& e) {
     std::fprintf(stderr, "[serve] FATAL: %s\n", e.what());

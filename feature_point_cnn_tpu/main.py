@@ -183,7 +183,17 @@ def main(argv=None) -> None:
         if opt.raw_weights:
             from feature_point_cnn_tpu.utils.weights import save_weights
 
-            save_weights(opt.raw_weights, frontend.variables)
+            if opt.fold_bn:
+                # the frontend folded BN into conv params at load (no
+                # batch_stats left); the portable snapshot contract keeps
+                # the UNFOLDED topology, so reload without the fold
+                snap_vars = SuperPointFrontend(
+                    cfg.replace(fold_bn=False),
+                    checkpoint_dir=opt.weights_path,
+                ).variables
+            else:
+                snap_vars = frontend.variables
+            save_weights(opt.raw_weights, snap_vars)
             print(f"[export] raw weights -> {opt.raw_weights}")
 
     elif opt.run_mode == "train":

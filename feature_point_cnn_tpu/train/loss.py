@@ -211,6 +211,12 @@ def descriptor_hinge_hn_loss(
     pair counts, so their gradients are balanced without the reference's
     ``lambda_d=250`` rebalancing; ``config.lambda_hn`` scales the whole
     descriptor term against the detector CE terms.
+
+    Memory note: mining needs the full similarity matrix, so this loss
+    materializes (B, N, N) f32 tensors in HBM (~184 MB at 240x320 b32) —
+    the blockwise Pallas kernel (``use_pallas_desc_loss``) applies only to
+    the reference hinge; use ``--microbatch-steps`` if batch/resolution
+    scaling hits HBM limits here.
     """
     b, hc, wc, dd = desc.shape
     n = hc * wc
@@ -227,9 +233,15 @@ def descriptor_hinge_hn_loss(
         + cell // 2
     )
     warped_centers = warp_points(centers, homographies)        # (B, N, 2)
-    diff = warped_centers[:, :, None, :] - centers[None, None, :, :]
-    cell_dist = jnp.linalg.norm(diff, axis=-1)                 # (B, N, N)
-    s = (cell_dist < (cell - 0.5)).astype(jnp.float32)
+    # squared-distance GEMM expansion |wc|^2 + |c|^2 - 2 wc.c: one (B,N,N)
+    # f32 tensor instead of the (B,N,N,2) broadcast difference (the
+    # correspondence test is a threshold, exact values don't matter)
+    sq = (
+        jnp.sum(warped_centers**2, -1)[:, :, None]
+        + jnp.sum(centers**2, -1)[None, None, :]
+        - 2.0 * jnp.einsum("bik,jk->bij", warped_centers, centers)
+    )
+    s = (sq < (cell - 0.5) ** 2).astype(jnp.float32)           # (B, N, N)
 
     if valid_mask is None:
         mask = jnp.ones((b, n), jnp.float32)
@@ -246,8 +258,13 @@ def descriptor_hinge_hn_loss(
     hard_ij = jax.lax.top_k(neg, k)[0]                         # (B, N, k)
     hard_ji = jax.lax.top_k(neg.transpose(0, 2, 1), k)[0]      # (B, N, k)
     hard = jnp.concatenate([hard_ij, hard_ji], axis=-1)
-    hard = jnp.where(jnp.isfinite(hard), hard, 0.0)
-    neg_term = jnp.mean(hard)
+    # -inf marks slots whose mining pool was exhausted (masked cells,
+    # correspondences): exclude them from the DENOMINATOR too, or heavily
+    # masked samples train with a diluted negative gradient
+    finite = jnp.isfinite(hard)
+    neg_term = jnp.sum(jnp.where(finite, hard, 0.0)) / jnp.maximum(
+        jnp.sum(finite.astype(jnp.float32)), 1.0
+    )
 
     return config.lambda_hn * (pos_term + neg_term)
 

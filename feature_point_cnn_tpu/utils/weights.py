@@ -81,7 +81,7 @@ def released_path(weights_dir=None) -> str:
             )
         return str(path)
     snaps = sorted(
-        wdir.glob("superpoint*.npz") or wdir.glob("*.npz"),
+        list(wdir.glob("superpoint*.npz")) or list(wdir.glob("*.npz")),
         key=lambda p: p.stat().st_mtime,
     )
     if not snaps:

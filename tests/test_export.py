@@ -127,3 +127,31 @@ def test_module_compiles_and_runs(bundle, rng):
                 by_name["key_desc_out"], by_name["desc"][0]
             )
             assert int(by_name["key_num_out"]) == int(nv[0])
+
+
+def test_cli_export_fold_bn_with_raw_weights(tmp_path, monkeypatch):
+    """`export --fold-bn --raw-weights` must write an UNFOLDED portable
+    snapshot (regression: the frontend's variables have no batch_stats
+    after the fold, and save_weights rejected them)."""
+    import sys
+
+    from feature_point_cnn_tpu.main import main
+    from feature_point_cnn_tpu.models.superpoint import init_superpoint
+    from feature_point_cnn_tpu.utils.weights import load_weights, save_weights
+
+    _, variables = init_superpoint(jax.random.PRNGKey(0), CFG, (48, 64))
+    src = tmp_path / "src.npz"
+    save_weights(str(src), variables)
+
+    out = tmp_path / "bundle"
+    snap = tmp_path / "snap.npz"
+    monkeypatch.setattr(sys, "argv", [
+        "main", "--H", "48", "--W", "64", "--max-keypoints", "32",
+        "export", "--weights-path", str(src),
+        "--pjrt-out", str(out), "--abi", "packed", "--top-n", "8",
+        "--fold-bn", "--raw-weights", str(snap),
+    ])
+    main()
+    assert (out / "module.mlir").exists()
+    loaded = load_weights(str(snap))
+    assert "batch_stats" in loaded

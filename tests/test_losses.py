@@ -235,3 +235,29 @@ def test_global_loss_hinge_hn_wiring(rng):
         float(out["detector"] + out["warped_detector"] + out["descriptor"]),
         rtol=1e-6,
     )
+
+
+def test_hinge_hn_mask_does_not_dilute_negative_term(rng):
+    """The mined-negative term is normalized by the count of REAL mined
+    slots: masking out warped cells must not shrink the per-slot negative
+    penalty (regression: -inf pool-exhausted slots were zeroed but still
+    counted in a plain mean)."""
+    cfg = CFG.replace(descriptor_loss="hinge_hn", desc_hn_topk=2)
+    # all-identical descriptors: every pair has cos=1, so every mined
+    # negative contributes exactly (1 - m_neg) and the positive hinge is 0
+    d = np.zeros((B, HC, WC, DD), np.float32)
+    d[..., 0] = 1.0
+    h = _identity_homog()
+    full = float(
+        LS.descriptor_hinge_hn_loss(jnp.asarray(d), jnp.asarray(d), h, None, cfg)
+    )
+    mask = np.ones((B, HC, WC), np.float32)
+    mask[:, :, WC // 2:] = 0.0  # half the warped cells invalid
+    half = float(
+        LS.descriptor_hinge_hn_loss(
+            jnp.asarray(d), jnp.asarray(d), h, jnp.asarray(mask), cfg
+        )
+    )
+    expected = cfg.lambda_hn * (1.0 - cfg.negative_margin)
+    np.testing.assert_allclose(full, expected, rtol=1e-5)
+    np.testing.assert_allclose(half, expected, rtol=1e-5)

@@ -126,3 +126,32 @@ def test_snapshot_repeatability(snapshot):
         f"{snapshot.name}: repeatability {out['repeatability']:.3f} < 0.5 "
         f"over {int(out['pairs'])} warped pairs"
     )
+
+
+def test_released_path_fallback_globs(tmp_path):
+    """Pointer-less fallback: newest-by-mtime superpoint*.npz, then ANY
+    *.npz (regression: `glob() or glob()` ORed two always-truthy
+    generators, so the second pattern was never consulted)."""
+    import os
+    import time
+
+    import numpy as np
+    import pytest
+
+    from feature_point_cnn_tpu.utils.weights import released_path
+
+    with pytest.raises(FileNotFoundError):
+        released_path(tmp_path)
+
+    np.savez(tmp_path / "magicpoint_only.npz", a=np.zeros(1))
+    assert released_path(tmp_path).endswith("magicpoint_only.npz")
+
+    np.savez(tmp_path / "superpoint_r3.npz", a=np.zeros(1))
+    np.savez(tmp_path / "superpoint_r10.npz", a=np.zeros(1))
+    now = time.time()
+    os.utime(tmp_path / "superpoint_r10.npz", (now - 100, now - 100))
+    # mtime order, not lexical: r3 is newer than r10 here
+    assert released_path(tmp_path).endswith("superpoint_r3.npz")
+
+    (tmp_path / "RELEASED").write_text("superpoint_r10.npz\n")
+    assert released_path(tmp_path).endswith("superpoint_r10.npz")

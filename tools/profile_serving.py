@@ -67,18 +67,24 @@ def main() -> None:
     _, variables = init_superpoint(jax.random.PRNGKey(0), init_cfg, (h, w))
     # device_put ONCE — host numpy variables would re-upload ~8.7 MB per
     # timed call through the relay (the BENCH_r03 artifact)
-    try:
-        from feature_point_cnn_tpu.utils.weights import (
-            load_variables,
-            released_path,
-        )
+    from feature_point_cnn_tpu.utils.weights import (
+        load_variables,
+        released_path,
+    )
 
-        snap = opt.weights or released_path()
-        variables = load_variables(snap, device=True)
-        print(f"# weights: {snap}", flush=True)
-    except FileNotFoundError:
-        variables = jax.device_put(variables)
-        print("# weights: random init", flush=True)
+    if opt.weights:
+        # an explicitly pinned artifact must exist — don't silently
+        # profile random init off a typo'd path
+        variables = load_variables(opt.weights, device=True)
+        print(f"# weights: {opt.weights}", flush=True)
+    else:
+        try:
+            snap = released_path()
+            variables = load_variables(snap, device=True)
+            print(f"# weights: {snap}", flush=True)
+        except FileNotFoundError:
+            variables = jax.device_put(variables)
+            print("# weights: random init", flush=True)
     if opt.fold_bn:
         from feature_point_cnn_tpu.models.fold import fold_batchnorm
 
