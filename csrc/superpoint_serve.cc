@@ -167,12 +167,13 @@ std::vector<fpc::CreateOption> AxonDefaultOptions() {
 }  // namespace
 
 int main(int argc, char** argv) {
+  setvbuf(stdout, nullptr, _IOLBF, 0);
   std::string model_dir;
   std::string plugin = "/opt/axon/libaxon_pjrt.so";
   std::string input_file;
   std::string source = "synthetic";
   int frames = 20;
-  int pipeline = 2;
+  std::string pipeline = "2";
   for (int i = 1; i < argc; ++i) {
     std::string a = argv[i];
     auto next = [&]() -> std::string {
@@ -184,11 +185,11 @@ int main(int argc, char** argv) {
     else if (a == "--frames") frames = std::atoi(next().c_str());
     else if (a == "--input") input_file = next();
     else if (a == "--source") source = next();
-    else if (a == "--pipeline") pipeline = std::atoi(next().c_str());
+    else if (a == "--pipeline") pipeline = next();
     else {
       std::fprintf(stderr,
                    "usage: %s --model DIR [--plugin SO] [--frames N] "
-                   "[--input frame.raw] [--pipeline N] "
+                   "[--input frame.raw] [--pipeline N[,N,...]] "
                    "[--source synthetic|N|/dev/videoN|frames.raw]\n",
                    argv[0]);
       return 2;
@@ -262,10 +263,38 @@ int main(int argc, char** argv) {
       frame_source = fpc::OpenSource(source);
     }
 
+    // per-frame host readback: everything a real consumer needs (keypoint
+    // coordinates/scores + match indices); descriptors stay on device
+    const std::vector<size_t> fetch_idx =
+        packed ? std::vector<size_t>{0, 1, 2}    // num_valid, kp_packed, match
+               : std::vector<size_t>{0, 1, 2, 3, 4, 5};  // y,x,score,valid,m,mv
+    size_t fetch_bytes = 0;
+    for (size_t i : fetch_idx) fetch_bytes += out_specs[i].data.size();
+    std::printf("[serve] abi=%s top_n=%ld batch=%ld readback=%zu bytes/exec\n",
+                packed ? "packed" : "full", top_n, batch, fetch_bytes);
+
+    // --pipeline takes a comma list ("1,2,4,8"): every depth runs in THIS
+    // process, so the multi-minute remote compile is paid once per bundle
+    // instead of once per sweep point.
+    std::vector<int> depths;
+    for (const char* p = pipeline.c_str(); *p != 0;) {
+      char* end = nullptr;
+      long v = std::strtol(p, &end, 10);
+      if (end == p) break;
+      depths.push_back(static_cast<int>(v));
+      p = (*end == ',') ? end + 1 : end;
+    }
+    if (depths.empty()) depths.push_back(2);
+    bool src_drained = false;
+    for (int depth_raw : depths) {
+    if (src_drained) break;
+    const int depth = depth_raw < 1 ? 1 : depth_raw;
+    if (depths.size() > 1) std::printf("[serve] === pipeline depth %d ===\n", depth);
     long total_matches = 0;
     long steady_frames = 0;  // real (non-padding) frames past the keyframe
     int done = 0;
-    // device-resident keyframe state (fed back without host round trips)
+    // device-resident keyframe state (fed back without host round trips;
+    // re-seeded per depth so every sweep point starts from the same state)
     fpc::DeviceBuffer key_desc_dev = rt.Upload(key_desc);
     fpc::DeviceBuffer key_valid_dev = rt.Upload(key_valid);
 
@@ -281,17 +310,6 @@ int main(int argc, char** argv) {
       std::chrono::steady_clock::time_point issued;
     };
     std::deque<InFlight> in_flight;
-    const int depth = pipeline < 1 ? 1 : pipeline;
-
-    // per-frame host readback: everything a real consumer needs (keypoint
-    // coordinates/scores + match indices); descriptors stay on device
-    const std::vector<size_t> fetch_idx =
-        packed ? std::vector<size_t>{0, 1, 2}    // num_valid, kp_packed, match
-               : std::vector<size_t>{0, 1, 2, 3, 4, 5};  // y,x,score,valid,m,mv
-    size_t fetch_bytes = 0;
-    for (size_t i : fetch_idx) fetch_bytes += out_specs[i].data.size();
-    std::printf("[serve] abi=%s top_n=%ld batch=%ld readback=%zu bytes/exec\n",
-                packed ? "packed" : "full", top_n, batch, fetch_bytes);
 
     auto retire = [&](InFlight& fl) {
       std::vector<fpc::HostArray> got;
@@ -399,6 +417,8 @@ int main(int argc, char** argv) {
           steady_frames / steady_s, depth, batch,
           static_cast<double>(total_matches) / steady_frames);
     }
+    src_drained = src_drained || exhausted;
+    }  // depth sweep
   } catch (const std::exception& e) {
     std::fprintf(stderr, "[serve] FATAL: %s\n", e.what());
     return 1;
