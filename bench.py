@@ -30,19 +30,41 @@ through the relay, so the benchmark reports:
 * ``relay_execute_ms`` — the environment's fixed execute+fetch round trip,
                        measured on a one-FLOP program.
 
+Round-5 hardening (the round-4 driver run timed out at rc=124 and published
+NOTHING): the headline b64 number is now measured FIRST and its JSON line
+printed IMMEDIATELY, then the remaining stages (b1/b8, relay RTT, scan-based
+device timing) enrich the record and the full line is re-printed.  Every
+enrichment stage is gated on a wall-clock budget (env ``BENCH_BUDGET_S``,
+default 1200 s measured from process start); when the budget is exhausted
+the remaining stages are skipped (fields stay null) rather than the whole
+record being lost.  A consumer should take the LAST JSON line; a truncated
+run still leaves the first.  This mirrors the reference's always-on FPS
+readout (`/root/reference/python/src/inference.py:107-110`) — a number
+every run, no exceptions.
+
 The reference publishes no numbers (BASELINE.md); `vs_baseline` is reported
 against the 30 FPS real-time webcam rate its live demos target
 (`inference.py:107-110`, `main.cc:104-111`).
-
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "frames/s/chip", "vs_baseline": N}
 """
 
 import functools
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+_T0 = time.perf_counter()
+_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1200"))
+
+
+def _remaining() -> float:
+    return _BUDGET_S - (time.perf_counter() - _T0)
+
+
+def _log(msg: str) -> None:
+    print(f"[bench +{time.perf_counter() - _T0:6.1f}s] {msg}", file=sys.stderr)
 
 
 def _median_fetch_seconds(fn, n, *args) -> float:
@@ -89,8 +111,6 @@ def main() -> None:
     # artifact; override with `python bench.py --weights X.npz`.  Loaded
     # variables are committed to the device ONCE — feeding host numpy into
     # the timed loop was the round-3 8.7 MB-per-call relay-upload artifact.
-    import sys
-
     weights_used = "random_init"
     from feature_point_cnn_tpu.utils.weights import (
         load_variables,
@@ -118,6 +138,7 @@ def main() -> None:
     extract = functools.partial(extract_fn, model=model, config=cfg)
     rng = np.random.default_rng(0)
 
+    _log("compiling keyframe extract (b1)")
     kp0, desc0 = jax.jit(extract)(
         variables, jnp.asarray(rng.random((1, h, w, 3)), jnp.float32)
     )
@@ -131,103 +152,129 @@ def main() -> None:
         return jnp.sum(m.num) + jnp.sum(kp.score) + jnp.sum(desc[..., 0])
 
     frame_jit = jax.jit(frame_scalar)
+    device = jax.devices()[0]
 
-    # fixed relay execute+fetch round trip, on a one-FLOP program
-    tiny = jax.jit(lambda v: v * 2.0)
-    x = jax.device_put(jnp.float32(1.5))
-    float(tiny(x))
-    t_tiny = _median_fetch_seconds(tiny, 30, x)
+    record = {
+        "metric": f"detect_describe_match_fps_{h}x{w}_b64_{device.platform}",
+        "value": None,
+        "unit": "frames/s/chip",
+        "vs_baseline": None,
+        "b1_latency_ms": None,
+        "b1_fps": None,
+        "b8_fps": None,
+        "device_ms_per_frame": None,
+        "device_fps_est": None,
+        "relay_execute_ms": None,
+        "gflops_per_frame": None,
+        "mfu_vs_bf16_peak": None,
+        "weights": weights_used,
+    }
 
-    times = {}
+    # ---- Stage 1 (ALWAYS): the headline b64 number, printed immediately --
+    _log("compiling b64 pipeline")
+    img64 = jax.device_put(jnp.asarray(rng.random((64, h, w, 3)), jnp.float32))
+    compiled64 = frame_jit.lower(variables, img64, key_desc, key_valid).compile()
     flops_per_frame = None
-    for bsz in (1, 8, 64):
+    try:
+        ca = compiled64.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops_per_frame = float(ca["flops"]) / 64.0
+    except Exception:
+        pass
+    float(frame_jit(variables, img64, key_desc, key_valid))  # warm
+    t64 = _median_fetch_seconds(frame_jit, 10, variables, img64, key_desc, key_valid)
+    throughput_b64 = 64.0 / t64
+    record["value"] = round(throughput_b64, 2)
+    record["vs_baseline"] = round(throughput_b64 / 30.0, 2)
+    if flops_per_frame:
+        record["gflops_per_frame"] = round(flops_per_frame / 1e9, 2)
+    print(json.dumps(record), flush=True)
+    _log(f"headline printed: {record['value']} fps b64")
+
+    # ---- Enrichment stages, each gated on the wall-clock budget ----------
+    if _remaining() > 60:
+        _log("stage: relay RTT")
+        tiny = jax.jit(lambda v: v * 2.0)
+        x = jax.device_put(jnp.float32(1.5))
+        float(tiny(x))
+        record["relay_execute_ms"] = round(
+            _median_fetch_seconds(tiny, 30, x) * 1e3, 3
+        )
+    else:
+        _log("budget exhausted: skipping relay RTT")
+
+    for bsz, keys in ((1, ("b1_latency_ms", "b1_fps")), (8, ("b8_fps",))):
+        if _remaining() < 120:
+            _log(f"budget exhausted: skipping b{bsz}")
+            continue
+        _log(f"stage: b{bsz}")
         img = jax.device_put(
             jnp.asarray(rng.random((bsz, h, w, 3)), jnp.float32)
         )
-        lowered = frame_jit.lower(variables, img, key_desc, key_valid)
-        compiled = lowered.compile()
-        if bsz == 64:
-            try:
-                ca = compiled.cost_analysis()
-                ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-                flops_per_frame = float(ca["flops"]) / bsz
-            except Exception:
-                pass
         float(frame_jit(variables, img, key_desc, key_valid))  # compile+warm
-        times[bsz] = _median_fetch_seconds(
+        t = _median_fetch_seconds(
             frame_jit, 10, variables, img, key_desc, key_valid
         )
-
-    throughput_b64 = 64.0 / times[64]
+        if bsz == 1:
+            record["b1_latency_ms"] = round(t * 1e3, 3)
+            record["b1_fps"] = round(1.0 / t, 2)
+        else:
+            record["b8_fps"] = round(bsz / t, 2)
 
     # chip-side per-frame time: R-fold on-device repeat, paired-difference
-    # timing (drift-robust; see module docstring)
-    def scanned(r, b):
-        im = jax.device_put(
-            jnp.asarray(rng.random((b, h, w, 3)), jnp.float32)
-        )
+    # timing (drift-robust; see module docstring).  Two extra compiles —
+    # the most expensive enrichment, so it runs last and needs the most
+    # remaining budget.
+    if _remaining() > 240:
+        _log("stage: scan-based device timing (2 compiles)")
 
-        def fn_impl(v):
-            def step(carry, i):
-                s = frame_scalar(
-                    v, im + (1e-7 * i).astype(im.dtype), key_desc, key_valid
-                )
-                return carry + s, ()
+        def scanned(r, b):
+            im = jax.device_put(
+                jnp.asarray(rng.random((b, h, w, 3)), jnp.float32)
+            )
 
-            return jax.lax.scan(
-                step, jnp.zeros((), jnp.float32), jnp.arange(r)
-            )[0]
+            def fn_impl(v):
+                def step(carry, i):
+                    s = frame_scalar(
+                        v, im + (1e-7 * i).astype(im.dtype), key_desc, key_valid
+                    )
+                    return carry + s, ()
 
-        fn = jax.jit(fn_impl)
-        float(fn(variables))  # compile + warm
-        return fn
+                return jax.lax.scan(
+                    step, jnp.zeros((), jnp.float32), jnp.arange(r)
+                )[0]
 
-    r_lo, r_hi, b_scan = 2, 10, 32
-    fn_lo, fn_hi = scanned(r_lo, b_scan), scanned(r_hi, b_scan)
-    diffs = []
-    with jax.transfer_guard_host_to_device("disallow"):
-        for _ in range(7):
-            t0 = time.perf_counter()
-            float(fn_lo(variables))
-            t1 = time.perf_counter()
-            float(fn_hi(variables))
-            t2 = time.perf_counter()
-            diffs.append((t2 - t1) - (t1 - t0))
-    device_s_per_frame = float(np.median(diffs)) / ((r_hi - r_lo) * b_scan)
+            fn = jax.jit(fn_impl)
+            float(fn(variables))  # compile + warm
+            return fn
 
-    device = jax.devices()[0]
-    # model FLOP utilization against chip peak (bf16).  The TPU here is a
-    # v5-lite-class chip: ~197 TFLOP/s bf16 (published v5e spec); XLA's
-    # cost analysis counts each MAC as 2 flops on the f32 graph.
-    peak_flops = 197e12 if device.platform in ("tpu", "axon") else None
-    mfu = (
-        round(flops_per_frame / device_s_per_frame / peak_flops, 4)
-        if flops_per_frame and peak_flops
-        else None
-    )
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    f"detect_describe_match_fps_{h}x{w}_b64_{device.platform}"
-                ),
-                "value": round(throughput_b64, 2),
-                "unit": "frames/s/chip",
-                "vs_baseline": round(throughput_b64 / 30.0, 2),
-                "b1_latency_ms": round(times[1] * 1e3, 3),
-                "b1_fps": round(1.0 / times[1], 2),
-                "b8_fps": round(8.0 / times[8], 2),
-                "device_ms_per_frame": round(device_s_per_frame * 1e3, 4),
-                "device_fps_est": round(1.0 / device_s_per_frame, 2),
-                "relay_execute_ms": round(t_tiny * 1e3, 3),
-                "gflops_per_frame": (
-                    round(flops_per_frame / 1e9, 2) if flops_per_frame else None
-                ),
-                "mfu_vs_bf16_peak": mfu,
-                "weights": weights_used,
-            }
-        )
-    )
+        r_lo, r_hi, b_scan = 2, 10, 32
+        fn_lo, fn_hi = scanned(r_lo, b_scan), scanned(r_hi, b_scan)
+        diffs = []
+        with jax.transfer_guard_host_to_device("disallow"):
+            for _ in range(7):
+                t0 = time.perf_counter()
+                float(fn_lo(variables))
+                t1 = time.perf_counter()
+                float(fn_hi(variables))
+                t2 = time.perf_counter()
+                diffs.append((t2 - t1) - (t1 - t0))
+        device_s_per_frame = float(np.median(diffs)) / ((r_hi - r_lo) * b_scan)
+        record["device_ms_per_frame"] = round(device_s_per_frame * 1e3, 4)
+        record["device_fps_est"] = round(1.0 / device_s_per_frame, 2)
+        # model FLOP utilization against chip peak (bf16).  The TPU here is
+        # a v5-lite-class chip: ~197 TFLOP/s bf16 (published v5e spec);
+        # XLA's cost analysis counts each MAC as 2 flops on the f32 graph.
+        peak = 197e12 if device.platform in ("tpu", "axon") else None
+        if flops_per_frame and peak:
+            record["mfu_vs_bf16_peak"] = round(
+                flops_per_frame / device_s_per_frame / peak, 4
+            )
+    else:
+        _log("budget exhausted: skipping scan-based device timing")
+
+    print(json.dumps(record), flush=True)
+    _log("full record printed")
 
 
 if __name__ == "__main__":

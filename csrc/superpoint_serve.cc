@@ -272,6 +272,15 @@ int main(int argc, char** argv) {
     for (size_t i : fetch_idx) fetch_bytes += out_specs[i].data.size();
     std::printf("[serve] abi=%s top_n=%ld batch=%ld readback=%zu bytes/exec\n",
                 packed ? "packed" : "full", top_n, batch, fetch_bytes);
+    if (!packed && batch != 1) {
+      // the full-ABI retire path counts keypoints/matches over fixed k and
+      // would silently count padded frames; export_pjrt asserts batch==1
+      // for abi=full — mirror that invariant at runtime
+      std::fprintf(stderr,
+                   "[serve] full ABI requires batch==1 (got %ld); "
+                   "batched exports use --abi packed\n", batch);
+      return 2;
+    }
 
     // --pipeline takes a comma list ("1,2,4,8"): every depth runs in THIS
     // process, so the multi-minute remote compile is paid once per bundle
@@ -280,14 +289,29 @@ int main(int argc, char** argv) {
     for (const char* p = pipeline.c_str(); *p != 0;) {
       char* end = nullptr;
       long v = std::strtol(p, &end, 10);
-      if (end == p) break;
+      if (end == p || (*end != 0 && *end != ',')) {
+        // a malformed element must not silently truncate the sweep or fall
+        // back to the default depth — the log would look complete
+        std::fprintf(stderr,
+                     "[serve] bad --pipeline value %s (want e.g. 1,2,4,8)\n",
+                     pipeline.c_str());
+        return 2;
+      }
       depths.push_back(static_cast<int>(v));
       p = (*end == ',') ? end + 1 : end;
     }
     if (depths.empty()) depths.push_back(2);
     bool src_drained = false;
-    for (int depth_raw : depths) {
-    if (src_drained) break;
+    for (size_t di = 0; di < depths.size(); ++di) {
+    const int depth_raw = depths[di];
+    if (src_drained) {
+      std::string rest;
+      for (size_t j = di; j < depths.size(); ++j)
+        rest += (j > di ? "," : "") + std::to_string(depths[j]);
+      std::printf("[serve] source drained; skipping remaining depths %s\n",
+                  rest.c_str());
+      break;
+    }
     const int depth = depth_raw < 1 ? 1 : depth_raw;
     if (depths.size() > 1) std::printf("[serve] === pipeline depth %d ===\n", depth);
     long total_matches = 0;
@@ -322,6 +346,8 @@ int main(int argc, char** argv) {
         const int32_t* mi = got[2].s32();
         for (long i = 0; i < fl.real * top_n; ++i) n_match += mi[i] >= 0;
       } else {
+        // counting over fixed k with no fl.real masking assumes batch==1
+        // (checked once at startup below)
         for (long i = 0; i < k; ++i) {
           n_kp += got[3].pred()[i] != 0;
           n_match += got[5].pred()[i] != 0;

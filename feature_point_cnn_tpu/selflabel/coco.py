@@ -20,6 +20,7 @@ from typing import Iterable, List, Optional, Tuple
 
 import cv2
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from feature_point_cnn_tpu.config import HomographyConfig, SuperPointConfig
@@ -41,23 +42,30 @@ def load_and_crop(path: str, out_hw: Tuple[int, int]) -> Optional[np.ndarray]:
 
 
 def _batched_reader(
-    paths: List[str], out_hw: Tuple[int, int], batch_size: int, prefetch: int = 2
-) -> Iterable[Tuple[np.ndarray, List[str]]]:
+    paths: List[Tuple[int, str]],
+    out_hw: Tuple[int, int],
+    batch_size: int,
+    prefetch: int = 2,
+) -> Iterable[Tuple[np.ndarray, List[str], List[int]]]:
+    """Yields ``(images, names, global_indices)`` batches; ``paths`` carries
+    each file's index in the FULL un-sharded sorted list so the per-item RNG
+    key is stable under sharding/resume."""
     q: "queue.Queue" = queue.Queue(maxsize=prefetch)
 
     def worker():
-        images, names = [], []
-        for p in paths:
+        images, names, idxs = [], [], []
+        for gi, p in paths:
             img = load_and_crop(p, out_hw)
             if img is None:
                 continue
             images.append(img)
             names.append(p)
+            idxs.append(gi)
             if len(images) == batch_size:
-                q.put((np.stack(images), names))
-                images, names = [], []
+                q.put((np.stack(images), names, idxs))
+                images, names, idxs = [], [], []
         if images:
-            q.put((np.stack(images), names))
+            q.put((np.stack(images), names, idxs))
         q.put(None)
 
     threading.Thread(target=worker, daemon=True).start()
@@ -79,6 +87,7 @@ def preprocess_folder(
     num_shards: int = 1,
     limit: int = 0,
     use_mesh: bool = True,
+    skip_existing: bool = True,
 ) -> int:
     """Label every image under ``image_dir`` into ``output_dir`` npz items
     (`preprocess_coco.py:64-74`).  Returns the item count written.
@@ -86,7 +95,16 @@ def preprocess_folder(
     Two levels of parallelism (SURVEY.md §7 stage 5): the file list shards
     across HOSTS (``shard_index``/``num_shards``), and each host's batch
     shards across its CHIPS via the data mesh (``use_mesh``) — the jitted
-    adaptation program partitions automatically over sharded inputs."""
+    adaptation program partitions automatically over sharded inputs.
+
+    Determinism: each item's warp set is drawn from a key folded with its
+    index in the FULL sorted file list, so the output of a sharded run is
+    **bit-identical** to a single-process run regardless of which items
+    share a batch (asserted by `tests/test_distributed.py`; the one caveat
+    is that every run must use the same ``batch_size`` — a different static
+    batch shape is a different XLA program and shifts scores by ~1 ULP),
+    and an interrupted run resumes by skipping already-written items
+    (``skip_existing``) without changing the remaining items' labels."""
     from feature_point_cnn_tpu.parallel.mesh import (
         batch_sharding,
         make_mesh,
@@ -101,16 +119,29 @@ def preprocess_folder(
         frontend.variables = replicate_state(frontend.variables, mesh)
     out = Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
-    paths = sorted(
+    all_paths = sorted(
         str(p) for p in Path(image_dir).iterdir() if p.suffix.lower() in _IMG_EXTS
     )
-    paths = paths[shard_index::num_shards]
+    # index BEFORE sharding/filtering: the per-item key is a function of the
+    # position in the full sorted list, never of batch/shard layout
+    paths = list(enumerate(all_paths))[shard_index::num_shards]
     if limit:
         paths = paths[:limit]
+    n_assigned = len(paths)
+    if skip_existing:
+        paths = [
+            (gi, p) for gi, p in paths
+            if not (out / f"{Path(p).stem}.npz").exists()
+        ]
+        if len(paths) < n_assigned:
+            print(
+                f"[selflabel] resume: {n_assigned - len(paths)}/{n_assigned}"
+                f" items already in {output_dir}, labeling the rest"
+            )
     out_hw = frontend.config.train_image_size
     key = jax.random.PRNGKey(seed)
     written = 0
-    for i, (images, names) in enumerate(
+    for i, (images, names, idxs) in enumerate(
         _batched_reader(paths, out_hw, batch_size)
     ):
         # pad the tail batch to the static shape, drop the padding afterwards
@@ -118,12 +149,17 @@ def preprocess_folder(
         if n_real < batch_size:
             pad = np.zeros((batch_size - n_real,) + images.shape[1:], images.dtype)
             images = np.concatenate([images, pad])
+            idxs = idxs + [0] * (batch_size - n_real)
+        item_keys = jax.vmap(lambda gi: jax.random.fold_in(key, gi))(
+            jnp.asarray(idxs, jnp.int32)
+        )
         device_images = images
         if mesh is not None and mesh.devices.size > 1:
             # shard straight from host memory (no staging via device 0)
             device_images = jax.device_put(images, batch_sharding(mesh))
+            item_keys = jax.device_put(item_keys, batch_sharding(mesh))
         points = frontend.run_with_homography_adaptation(
-            device_images, homo_config, jax.random.fold_in(key, i)
+            device_images, homo_config, item_keys
         )
         for j in range(n_real):
             name = Path(names[j]).stem

@@ -57,6 +57,33 @@ def test_adaptation_max_aggregation(rng):
     assert (p[p > 0] >= 0.4).all()
 
 
+def test_adaptation_per_item_keys_batch_invariant(rng):
+    """With per-image keys, each image's label is a function of its key
+    alone — bit-identical across any batch grouping (the property that makes
+    sharded/resumed self-labeling deterministic)."""
+    images = jnp.asarray(rng.random((6, 48, 64, 3)), jnp.float32)
+
+    def prob_fn(x):
+        return jnp.mean(x, axis=-1) * 0.5 + 0.1
+
+    base = jax.random.PRNGKey(7)
+    keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(jnp.arange(6))
+
+    full = np.asarray(homography_adaptation(keys, images, prob_fn, HOMO))
+    a = homography_adaptation(keys[:4], images[:4], prob_fn, HOMO)
+    b = homography_adaptation(keys[4:], images[4:], prob_fn, HOMO)
+    assert np.array_equal(full, np.concatenate([np.asarray(a), np.asarray(b)]))
+    # interleaved (shard-style) grouping
+    ev = np.asarray(homography_adaptation(keys[0::2], images[0::2], prob_fn, HOMO))
+    od = np.asarray(homography_adaptation(keys[1::2], images[1::2], prob_fn, HOMO))
+    mix = np.zeros_like(full)
+    mix[0::2], mix[1::2] = ev, od
+    assert np.array_equal(full, mix)
+    # per-item keys actually differ per item (not the shared-key semantics)
+    shared = np.asarray(homography_adaptation(base, images, prob_fn, HOMO))
+    assert not np.array_equal(full, shared)
+
+
 @pytest.fixture(scope="module")
 def frontend():
     return SuperPointFrontend(config=CFG)
@@ -204,3 +231,68 @@ def test_selflabel_folder_shards_partition(frontend, tmp_path):
     assert not set(
         p.name for p in (tmp_path / "s0").glob("*.npz")
     ) & set(p.name for p in (tmp_path / "s1").glob("*.npz"))
+
+
+def test_selflabel_shard_union_bit_identical(frontend, tmp_path):
+    """The union of sharded outputs equals a single-process run BIT-FOR-BIT:
+    per-item keys are folded with the item's index in the full sorted list,
+    and adaptation is batch-composition invariant (VERDICT r4 item 6).
+
+    Boundary: bitwise equality requires the SAME ``batch_size`` on every
+    shard (the realistic multi-host setup — one config everywhere).  A
+    different batch size is a different compiled program, and XLA's conv
+    tiling then shifts keypoint SCORES by ~1 ULP (coordinates still agree)."""
+    import cv2
+
+    from feature_point_cnn_tpu.selflabel.coco import preprocess_folder
+
+    src = tmp_path / "imgs"
+    src.mkdir()
+    rng = np.random.default_rng(5)
+    for i in range(5):
+        img = (rng.uniform(0, 255, (48, 64, 3))).astype(np.uint8)
+        cv2.imwrite(str(src / f"im{i}.jpg"), img)
+
+    kw = dict(use_mesh=False, seed=0)
+    preprocess_folder(frontend, str(src), str(tmp_path / "single"), HOMO,
+                      batch_size=3, **kw)
+    out_sh = tmp_path / "sharded"
+    preprocess_folder(frontend, str(src), str(out_sh), HOMO, batch_size=3,
+                      shard_index=0, num_shards=2, **kw)
+    preprocess_folder(frontend, str(src), str(out_sh), HOMO, batch_size=3,
+                      shard_index=1, num_shards=2, **kw)
+    singles = sorted((tmp_path / "single").glob("*.npz"))
+    assert len(singles) == 5
+    for f in singles:
+        a, b = np.load(f), np.load(out_sh / f.name)
+        assert np.array_equal(a["points"], b["points"]), f.name
+        assert np.array_equal(a["image"], b["image"]), f.name
+
+
+def test_selflabel_resume_skips_existing(frontend, tmp_path):
+    """An interrupted labeling run resumes: already-written items are
+    skipped, and relabeled items are bit-identical to the original pass
+    (per-item keys are independent of what else is in the batch)."""
+    import cv2
+
+    from feature_point_cnn_tpu.selflabel.coco import preprocess_folder
+
+    src = tmp_path / "imgs"
+    src.mkdir()
+    rng = np.random.default_rng(6)
+    for i in range(4):
+        img = (rng.uniform(0, 255, (48, 64, 3))).astype(np.uint8)
+        cv2.imwrite(str(src / f"im{i}.jpg"), img)
+
+    out = tmp_path / "out"
+    n = preprocess_folder(frontend, str(src), str(out), HOMO,
+                          batch_size=2, use_mesh=False, seed=0)
+    assert n == 4
+    orig = {f.name: np.load(f)["points"] for f in out.glob("*.npz")}
+    (out / "im1.npz").unlink()
+    (out / "im2.npz").unlink()
+    n2 = preprocess_folder(frontend, str(src), str(out), HOMO,
+                           batch_size=2, use_mesh=False, seed=0)
+    assert n2 == 2  # only the missing items were relabeled
+    for name, pts in orig.items():
+        assert np.array_equal(np.load(out / name)["points"], pts), name

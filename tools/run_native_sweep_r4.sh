@@ -13,6 +13,20 @@
 set -x
 BIN=${BIN:-/tmp/build_csrc/superpoint_serve}
 
+# _exports/ is not versioned: re-export any missing bundle from the RELEASED
+# weights so this script works on a fresh environment (advisor r4 finding)
+for b in 1 32; do
+  if [ ! -d "_exports/joint_r4_packed_b$b" ]; then
+    batch_flag=""
+    [ "$b" != 1 ] && batch_flag="--batch $b"
+    timeout 1800 python -m feature_point_cnn_tpu.main export \
+      --weights-path "weights/$(cat weights/RELEASED)" \
+      --pjrt-out "_exports/joint_r4_packed_b$b" \
+      --abi packed --top-n 256 $batch_flag --fold-bn || exit 1
+    sleep 5
+  fi
+done
+
 echo "=== packed b1, pipeline depths 1,2,4,8 ==="
 timeout 2700 "$BIN" --model _exports/joint_r4_packed_b1 \
     --frames 40 --pipeline 1,2,4,8
