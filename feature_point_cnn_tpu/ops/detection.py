@@ -127,39 +127,42 @@ def grid_nms(
     ``dist_thresh`` apart in inf-norm — downstream extraction exploits
     this for its block-max top-K reduction.
     """
-    pos = scores > 0.0
     key = nms_priority_key(scores, dist_thresh)
 
-    def one_round(keep):
-        suppressed = _maxpool(keep.astype(jnp.float32), dist_thresh) > 0.0
-        remaining = jnp.where(suppressed | ~pos, 0.0, key)
-        new_keep = (remaining > 0.0) & (
+    # One round = two max-pools: find window-maxima of the REMAINING
+    # candidates (no larger candidate within `dist_thresh`, so sequential
+    # greedy keeps them too), then zero their suppression windows.  The
+    # carry holds `remaining` directly, so convergence is a plain `any`
+    # rather than a third "covered" max-pool (round-5 restructure, shared
+    # with the Pallas kernel).
+    def one_round(remaining, keep):
+        winners = (remaining > 0.0) & (
             remaining == _maxpool(remaining, dist_thresh)
         )
-        return keep | new_keep
+        keep = keep | winners
+        dead = _maxpool(winners.astype(jnp.float32), dist_thresh) > 0.0
+        return jnp.where(dead, 0.0, remaining), keep
 
+    keep0 = jnp.zeros(scores.shape, bool)
     if num_iters > 0:
-        keep = pos & (key == _maxpool(key, dist_thresh))
-        for _ in range(num_iters - 1):
-            keep = one_round(keep)
+        remaining, keep = key, keep0
+        for _ in range(num_iters):
+            remaining, keep = one_round(remaining, keep)
     else:
-        def unresolved(keep):
-            covered = _maxpool(keep.astype(jnp.float32), dist_thresh) > 0.0
-            return jnp.any(pos & ~covered)
-
         # every round resolves >= one candidate per open region; H*W bounds it
         cap = scores.shape[-2] * scores.shape[-1]
 
         def cond(carry):
-            keep, i = carry
-            return unresolved(keep) & (i < cap)
+            remaining, keep, i = carry
+            return jnp.any(remaining > 0.0) & (i < cap)
 
         def body(carry):
-            keep, i = carry
-            return one_round(keep), i + 1
+            remaining, keep, i = carry
+            remaining, keep = one_round(remaining, keep)
+            return remaining, keep, i + 1
 
-        keep, _ = jax.lax.while_loop(
-            cond, body, (jnp.zeros_like(pos), jnp.zeros((), jnp.int32))
+        _, keep, _ = jax.lax.while_loop(
+            cond, body, (key, keep0, jnp.zeros((), jnp.int32))
         )
     return jnp.where(keep, scores, 0.0)
 
