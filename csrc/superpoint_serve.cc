@@ -78,6 +78,7 @@ PJRT_Buffer_Type dtype_of(const std::string& name) {
   if (name == "f16") return PJRT_Buffer_Type_F16;
   if (name == "s32") return PJRT_Buffer_Type_S32;
   if (name == "s16") return PJRT_Buffer_Type_S16;
+  if (name == "u8") return PJRT_Buffer_Type_U8;
   if (name == "pred") return PJRT_Buffer_Type_PRED;
   throw std::runtime_error("unknown dtype " + name);
 }
@@ -243,21 +244,46 @@ int main(int argc, char** argv) {
     fpc::HostArray key_desc = fpc::make_array(in_specs[1].shape, in_specs[1].type);
     fpc::HostArray key_valid = fpc::make_array(in_specs[2].shape, in_specs[2].type);
 
+    // u8 bundles (export --input-dtype u8 [--gray]) take raw uint8 pixels
+    // and normalize on device: the image upload shrinks 4x (12x with
+    // --gray), which dominates batched serving on a bandwidth-bound link.
+    // Frame sources still produce float [0,1]; quantization happens here
+    // at staging time (exact for camera frames — they originate as u8).
+    const bool u8_input = in_specs[0].type == PJRT_Buffer_Type_U8;
+    const size_t frame_bytes = image.data.size() / batch;  // ABI bytes/frame
+    const long frame_elems = h * w * c;
+    std::vector<float> fframe(static_cast<size_t>(frame_elems));
+    auto stage_frame = [&](const float* src, long b) {
+      if (u8_input) {
+        uint8_t* dst = image.data.data() + b * frame_bytes;
+        for (long i = 0; i < frame_elems; ++i) {
+          float v = src[i] * 255.0f + 0.5f;
+          dst[i] = static_cast<uint8_t>(v < 0.f ? 0.f : (v > 255.f ? 255.f : v));
+        }
+      } else {
+        std::memcpy(image.data.data() + b * frame_bytes, src,
+                    sizeof(float) * frame_elems);
+      }
+    };
+
     std::unique_ptr<fpc::FrameSource> frame_source;
     if (!input_file.empty()) {
       std::string raw = fpc::read_file(input_file);
-      const size_t frame_bytes = image.data.size() / batch;
-      if (raw.size() == frame_bytes) {  // one frame: replicate across batch
+      const size_t f32_frame_bytes = sizeof(float) * frame_elems;
+      if (raw.size() == f32_frame_bytes) {  // one frame: replicate per batch
         for (long b = 0; b < batch; ++b) {
-          std::memcpy(image.data.data() + b * frame_bytes, raw.data(),
-                      frame_bytes);
+          stage_frame(reinterpret_cast<const float*>(raw.data()), b);
         }
-      } else if (raw.size() == image.data.size()) {
-        std::memcpy(image.data.data(), raw.data(), raw.size());
+      } else if (raw.size() == f32_frame_bytes * batch) {
+        for (long b = 0; b < batch; ++b) {
+          stage_frame(
+              reinterpret_cast<const float*>(raw.data()) + b * frame_elems, b);
+        }
       } else {
         throw std::runtime_error("--input size mismatch: want " +
-                                 std::to_string(frame_bytes) + " or " +
-                                 std::to_string(image.data.size()) + " bytes");
+                                 std::to_string(f32_frame_bytes) + " or " +
+                                 std::to_string(f32_frame_bytes * batch) +
+                                 " bytes of raw f32 HWC");
       }
     } else {
       frame_source = fpc::OpenSource(source);
@@ -369,16 +395,16 @@ int main(int argc, char** argv) {
     std::chrono::steady_clock::time_point steady_t0;
     bool exhausted = false;
     for (int f = 0; f < frames && !exhausted; ++f) {
-      const long frame_elems = h * w * c;
       long staged = frame_source ? 0 : batch;
       for (long b = 0; frame_source && b < batch; ++b) {
-        if (!frame_source->GetFrame(image.f32() + b * frame_elems,
-                                    static_cast<int>(h), static_cast<int>(w),
+        if (!frame_source->GetFrame(fframe.data(), static_cast<int>(h),
+                                    static_cast<int>(w),
                                     static_cast<int>(c))) {
           std::printf("[serve] frame source exhausted after %d executes\n", f);
           exhausted = true;
           break;
         }
+        stage_frame(fframe.data(), b);
         staged = b + 1;
       }
       if (exhausted) {
@@ -386,9 +412,9 @@ int main(int argc, char** argv) {
         // pad the tail with the last real frame so the partial batch still
         // executes; retire() counts only the `real` slots
         for (long b = staged; b < batch; ++b) {
-          std::memcpy(image.f32() + b * frame_elems,
-                      image.f32() + (staged - 1) * frame_elems,
-                      sizeof(float) * frame_elems);
+          std::memcpy(image.data.data() + b * frame_bytes,
+                      image.data.data() + (staged - 1) * frame_bytes,
+                      frame_bytes);
         }
       }
       InFlight fl;

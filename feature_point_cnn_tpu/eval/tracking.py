@@ -45,10 +45,13 @@ def smooth_trajectory(
     max_shift: float = 24.0,
     max_theta: float = 0.06,
     max_log_scale: float = 0.03,
+    loops: int = 1,
 ) -> np.ndarray:
     """(N, 4) ground-truth warp parameters (theta, scale, tx, ty), frame 0 =
-    identity, smoothly varying (sinusoidal camera sweep)."""
-    t = np.linspace(0.0, 2.0 * np.pi, n_frames)
+    identity, smoothly varying (sinusoidal camera sweep).  ``loops > 1``
+    repeats the sweep, so the camera REVISITS earlier viewpoints — the
+    precondition for loop-closure detection."""
+    t = np.linspace(0.0, loops * 2.0 * np.pi, n_frames)
     theta = max_theta * np.sin(t)
     scale = np.exp(max_log_scale * np.sin(2.0 * t))
     tx = max_shift * np.sin(t)
@@ -70,16 +73,29 @@ def evaluate_tracking(
     n_frames: int = 40,
     min_inliers: int = 30,
     max_shift: float = 24.0,
+    loops: int = 1,
+    posegraph: bool = False,
+    loop_min_inliers: int = 25,
 ) -> Dict[str, object]:
     """Track the rendered sequence; returns ATE + tracking statistics.
 
     ``extract``: ``image -> FrameFeatures`` (e.g.
     `slam.tracking.frontend_extractor(frontend)`).
+
+    With ``posegraph=True`` the raw odometry is additionally refined by
+    loop-closure detection over the keyframe set + Sim(2) pose-graph
+    Gauss-Newton (`slam.tracking.detect_loop_closures` /
+    `refine_with_pose_graph`), and the result carries both ATE columns —
+    use ``loops >= 2`` so the trajectory actually revisits old viewpoints.
     """
-    from feature_point_cnn_tpu.slam.tracking import Tracker
+    from feature_point_cnn_tpu.slam.tracking import (
+        Tracker,
+        detect_loop_closures,
+        refine_with_pose_graph,
+    )
     from feature_point_cnn_tpu.slam.trajectory import absolute_trajectory_error
 
-    params = smooth_trajectory(n_frames, max_shift=max_shift)
+    params = smooth_trajectory(n_frames, max_shift=max_shift, loops=loops)
     frames = render_sequence(base, params)
     # frame 0 is the identity warp == the tracker's first keyframe, so the
     # ground-truth absolute pose of frame i is the Sim(2) projection of its
@@ -98,7 +114,7 @@ def evaluate_tracking(
     est = np.stack([r["pose"] for r in results])
     ate = absolute_trajectory_error(est[1:, 2:4], gt[1:, 2:4], align=False)
     tracked = [bool(r.get("tracked", False)) for r in results[1:]]
-    return {
+    out = {
         "frames": int(n_frames),
         "ate_rmse_px": ate["ate_rmse"],
         "ate_max_px": ate["ate_max"],
@@ -107,6 +123,20 @@ def evaluate_tracking(
         "mean_inliers": float(np.mean([r["num_inliers"] for r in results[1:]])),
         "num_keyframes": int(sum(r["is_keyframe"] for r in results)),
     }
+    if posegraph:
+        closures = detect_loop_closures(
+            tracker, min_inliers=loop_min_inliers
+        )
+        refined = refine_with_pose_graph(results, tracker, closures)
+        ate_pg = absolute_trajectory_error(
+            refined[1:, 2:4], gt[1:, 2:4], align=False
+        )
+        out.update({
+            "num_loop_closures": len(closures),
+            "posegraph_ate_rmse_px": ate_pg["ate_rmse"],
+            "posegraph_ate_max_px": ate_pg["ate_max"],
+        })
+    return out
 
 
 def _base_image(source: str, shape) -> np.ndarray:
@@ -143,6 +173,12 @@ def main(argv=None) -> None:
     ap.add_argument("--max-keypoints", type=int, default=512)
     ap.add_argument("--subpixel", action="store_true",
                     help="center-of-mass subpixel keypoint refinement")
+    ap.add_argument("--loops", type=int, default=1,
+                    help="trajectory sweeps (>= 2 revisits old viewpoints)")
+    ap.add_argument("--max-shift", type=float, default=24.0)
+    ap.add_argument("--posegraph", action="store_true",
+                    help="loop-closure detection + Sim(2) pose-graph "
+                         "refinement; adds posegraph_ate_* columns")
     opt = ap.parse_args(argv)
 
     from feature_point_cnn_tpu.inference.wrapper import SuperPointFrontend
@@ -154,7 +190,8 @@ def main(argv=None) -> None:
     frontend = SuperPointFrontend(cfg, checkpoint_dir=opt.weights_path)
     base = _base_image(opt.source, (opt.H, opt.W))
     out = evaluate_tracking(
-        frontend_extractor(frontend), base, n_frames=opt.frames
+        frontend_extractor(frontend), base, n_frames=opt.frames,
+        loops=opt.loops, max_shift=opt.max_shift, posegraph=opt.posegraph,
     )
     print(json.dumps(out, indent=2))
 

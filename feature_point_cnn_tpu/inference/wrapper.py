@@ -230,6 +230,8 @@ class SuperPointFrontend:
         abi: str = "packed",
         top_n: Optional[int] = None,
         batch: int = 1,
+        input_dtype: str = "f32",
+        input_channels: Optional[int] = None,
     ) -> None:
         """Export the full frame program (detect + describe + MATCH against a
         fed-back keyframe — matching stays an on-chip GEMM) for the native
@@ -263,6 +265,15 @@ class SuperPointFrontend:
         (``key_desc_out`` = frame 0's descriptors, ``key_num_out``) so the
         feedback buffers keep the unbatched key-input shapes.
 
+        ``input_dtype="u8"`` takes raw ``uint8`` pixels and normalizes
+        (``/255``) ON DEVICE — a 4x host->device cut on the image upload,
+        which dominates batched serving on a bandwidth-bound link (camera
+        frames originate as uint8, so this is exact for real sources; the
+        reference normalizes on host, `cpp/src/camera.cc:4-23`).
+        ``input_channels=1`` takes grayscale and broadcasts to the model's
+        3 channels on device (the loaders repeat gray exactly the same way,
+        `python/src/dataset_utils.py:12-32`) — another 3x upload cut.
+
         This replaces the TorchScript-trace + TRTorch-compile path consumed
         by the reference C++ app (`cpp/src/superpoint.cc:11-26`).
         """
@@ -279,11 +290,26 @@ class SuperPointFrontend:
         k, d = cfg.max_keypoints, cfg.descriptor_dim
         assert abi in ("full", "packed"), abi
         assert batch == 1 or abi == "packed", "batched export is packed-only"
+        assert input_dtype in ("f32", "u8"), input_dtype
+        cin = input_channels or cfg.image_channels
+        assert cin in (1, cfg.image_channels), input_channels
         n = min(top_n or 256, k)
+
+        def prep_image(image):
+            """ABI image -> model input: u8 -> f32/255 and gray -> repeated
+            channels, both ON DEVICE (upload stays small)."""
+            if input_dtype == "u8":
+                image = image.astype(jnp.float32) * (1.0 / 255.0)
+            if cin == 1 and cfg.image_channels != 1:
+                image = jnp.broadcast_to(
+                    image, image.shape[:-1] + (cfg.image_channels,)
+                )
+            return image
 
         if abi == "full":
 
             def frame_fn(image, key_desc, key_valid):
+                image = prep_image(image)
                 kp, desc = extract_fn(
                     self.variables, image, model=self.model, config=cfg
                 )
@@ -298,14 +324,15 @@ class SuperPointFrontend:
 
             specs = (
                 jax.ShapeDtypeStruct(
-                    (1, h, w, cfg.image_channels), jnp.float32
+                    (1, h, w, cin),
+                    jnp.uint8 if input_dtype == "u8" else jnp.float32,
                 ),
                 jax.ShapeDtypeStruct((k, d), jnp.float32),
                 jax.ShapeDtypeStruct((k,), jnp.bool_),
             )
             inputs = [
-                {"name": "image", "shape": [1, h, w, cfg.image_channels],
-                 "dtype": "f32"},
+                {"name": "image", "shape": [1, h, w, cin],
+                 "dtype": input_dtype},
                 {"name": "key_desc", "shape": [k, d], "dtype": "f32"},
                 {"name": "key_valid", "shape": [k], "dtype": "pred"},
             ]
@@ -322,6 +349,7 @@ class SuperPointFrontend:
             B = batch
 
             def frame_fn(image, key_desc, key_num):
+                image = prep_image(image)
                 kp, desc = extract_fn(
                     self.variables, image, model=self.model, config=cfg
                 )
@@ -360,14 +388,15 @@ class SuperPointFrontend:
 
             specs = (
                 jax.ShapeDtypeStruct(
-                    (B, h, w, cfg.image_channels), jnp.float32
+                    (B, h, w, cin),
+                    jnp.uint8 if input_dtype == "u8" else jnp.float32,
                 ),
                 jax.ShapeDtypeStruct((n, d), jnp.float16),
                 jax.ShapeDtypeStruct((), jnp.int32),
             )
             inputs = [
-                {"name": "image", "shape": [B, h, w, cfg.image_channels],
-                 "dtype": "f32"},
+                {"name": "image", "shape": [B, h, w, cin],
+                 "dtype": input_dtype},
                 {"name": "key_desc", "shape": [n, d], "dtype": "f16"},
                 {"name": "key_num", "shape": [], "dtype": "s32"},
             ]
@@ -396,7 +425,8 @@ class SuperPointFrontend:
             "abi": abi,
             "batch": batch,
             "image_size": [h, w],
-            "channels": cfg.image_channels,
+            "channels": cin,
+            "input_dtype": input_dtype,
             "max_keypoints": k,
             "top_n": n,
             "descriptor_dim": d,

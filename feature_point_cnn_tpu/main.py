@@ -105,6 +105,12 @@ def build_parser() -> argparse.ArgumentParser:
     ex.add_argument("--fold-bn", action="store_true",
                     help="fold BatchNorms into conv kernel+bias at export "
                          "(models/fold.py)")
+    ex.add_argument("--input-dtype", default="f32", choices=["f32", "u8"],
+                    help="u8 takes raw uint8 pixels, normalized on device "
+                         "(4x smaller image upload)")
+    ex.add_argument("--gray", action="store_true",
+                    help="1-channel ABI input, broadcast to the model's 3 "
+                         "channels on device (3x smaller image upload)")
     return p
 
 
@@ -176,7 +182,8 @@ def main(argv=None) -> None:
         if opt.pjrt_out:
             frontend.export_pjrt(
                 opt.pjrt_out, (opt.H, opt.W), abi=opt.abi, top_n=opt.top_n,
-                batch=opt.batch,
+                batch=opt.batch, input_dtype=opt.input_dtype,
+                input_channels=1 if opt.gray else None,
             )
         else:
             frontend.export_stablehlo(opt.out, (opt.H, opt.W))

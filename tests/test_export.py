@@ -21,8 +21,37 @@ NP_DTYPES = {
     "f16": np.float16,
     "s32": np.int32,
     "s16": np.int16,
+    "u8": np.uint8,
     "pred": np.bool_,
 }
+
+
+def _run_bundle(bundle, image):
+    """Compile a bundle's StableHLO with the XLA CPU client and execute it
+    with zero keyframe inputs; returns outputs by name."""
+    from jax._src.lib import _jax, xla_client
+
+    meta = json.loads((bundle / "meta.json").read_text())
+    backend = jax.devices("cpu")[0].client
+    device_list = _jax.DeviceList(tuple(backend.devices()[:1]))
+    executable = backend.compile_and_load(
+        (bundle / "module.mlir").read_bytes(), device_list,
+        xla_client.CompileOptions(),
+    )
+    args = [
+        np.zeros(spec["shape"], NP_DTYPES[spec["dtype"]])
+        for spec in meta["inputs"]
+    ]
+    assert list(image.shape) == meta["inputs"][0]["shape"]
+    assert image.dtype == NP_DTYPES[meta["inputs"][0]["dtype"]]
+    args[0] = image
+    outs = executable.execute_sharded(
+        [backend.buffer_from_pyval(a) for a in args]
+    ).disassemble_into_single_device_arrays()
+    return {
+        spec["name"]: np.asarray(out[0])
+        for out, spec in zip(outs, meta["outputs"])
+    }
 
 
 @pytest.fixture(
@@ -127,6 +156,36 @@ def test_module_compiles_and_runs(bundle, rng):
                 by_name["key_desc_out"], by_name["desc"][0]
             )
             assert int(by_name["key_num_out"]) == int(nv[0])
+
+
+def test_u8_gray_export_matches_f32(tmp_path, rng):
+    """A `--input-dtype u8 --gray` bundle (uint8 grayscale in, normalize +
+    channel-broadcast ON DEVICE) must produce bit-identical outputs to the
+    f32 bundle fed the equivalent pre-normalized 3-channel image — the ABI
+    changes only where the bytes are expanded, not the math."""
+    fe = SuperPointFrontend(CFG)
+    out8, out32 = tmp_path / "u8", tmp_path / "f32"
+    fe.export_pjrt(str(out8), (48, 64), abi="packed", top_n=16,
+                   input_dtype="u8", input_channels=1)
+    fe.export_pjrt(str(out32), (48, 64), abi="packed", top_n=16)
+
+    meta8 = json.loads((out8 / "meta.json").read_text())
+    assert meta8["inputs"][0] == {
+        "name": "image", "shape": [1, 48, 64, 1], "dtype": "u8"
+    }
+    assert meta8["channels"] == 1 and meta8["input_dtype"] == "u8"
+    # the image upload is 12x smaller than the f32 3-channel ABI's
+    assert 12 * np.prod(meta8["inputs"][0]["shape"]) == 4 * 3 * 48 * 64
+
+    img_u8 = (rng.random((1, 48, 64, 1)) * 255).astype(np.uint8)
+    img_f32 = np.broadcast_to(
+        img_u8.astype(np.float32) * (1.0 / 255.0), (1, 48, 64, 3)
+    ).copy()
+    got8 = _run_bundle(out8, img_u8)
+    got32 = _run_bundle(out32, img_f32)
+    assert set(got8) == set(got32)
+    for name in got32:
+        np.testing.assert_array_equal(got8[name], got32[name], err_msg=name)
 
 
 def test_cli_export_fold_bn_with_raw_weights(tmp_path, monkeypatch):

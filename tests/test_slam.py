@@ -105,13 +105,13 @@ def test_pose_graph_loop_closure(rng):
 
 
 def _world_feature_extractor(rng, n_world=400, k=96, d=32, shape=(96, 128),
-                              noise=0.05):
+                              noise=0.05, pos_noise=0.0, span=(2.0, 2.0)):
     """Synthetic feature provider: fixed world points with fixed unit
     descriptors; a frame at window offset (oy, ox) sees points inside its
     window at window coordinates, with per-observation descriptor noise."""
     from feature_point_cnn_tpu.slam.tracking import FrameFeatures
 
-    world = rng.random((n_world, 2)) * [shape[0] * 2, shape[1] * 2]
+    world = rng.random((n_world, 2)) * [shape[0] * span[0], shape[1] * span[1]]
     desc = rng.standard_normal((n_world, d)).astype(np.float32)
     desc /= np.linalg.norm(desc, axis=1, keepdims=True)
     h, w = shape
@@ -128,8 +128,12 @@ def _world_feature_extractor(rng, n_world=400, k=96, d=32, shape=(96, 128),
         x = np.zeros(k, np.float32)
         v = np.zeros(k, bool)
         dd = np.zeros((k, d), np.float32)
-        y[: len(idx)] = local[idx, 0]
-        x[: len(idx)] = local[idx, 1]
+        jitter = (
+            pos_noise * rng.standard_normal((len(idx), 2))
+            if pos_noise else np.zeros((len(idx), 2))
+        )
+        y[: len(idx)] = local[idx, 0] + jitter[:, 0]
+        x[: len(idx)] = local[idx, 1] + jitter[:, 1]
         v[: len(idx)] = True
         obs = desc[idx] + noise * rng.standard_normal((len(idx), d)).astype(np.float32)
         dd[: len(idx)] = obs / np.linalg.norm(obs, axis=1, keepdims=True)
@@ -176,6 +180,46 @@ def test_tracker_keyframe_promotion(rng):
     results = tracker.track(offsets)
     assert results[2]["is_keyframe"]          # promoted after the jump
     assert results[3]["num_inliers"] >= 12    # tracks against the new keyframe
+
+
+def test_loop_closure_posegraph_reduces_drift(rng):
+    """Out-and-back sequence with noisy keypoints: the keyframe chain
+    accumulates drift; loop closures against early keyframes + Sim(2)
+    pose-graph refinement must pull the return leg back toward ground
+    truth (VERDICT r4 item 7)."""
+    from feature_point_cnn_tpu.slam.tracking import (
+        Tracker,
+        detect_loop_closures,
+        refine_with_pose_graph,
+    )
+
+    extract = _world_feature_extractor(
+        rng, n_world=3000, k=96, pos_noise=0.5, span=(2.0, 6.0)
+    )
+    # long out-and-back along x in 50 px steps: each step drops overlap to
+    # ~60%, forcing a keyframe promotion nearly every frame, so the raw
+    # chain accumulates real drift before the return leg closes the loop
+    out_leg = [(8, 8 + 50 * i) for i in range(13)]
+    back_leg = [(8, 8 + 50 * i) for i in range(11, -1, -1)]
+    offsets = out_leg + back_leg
+    tracker = Tracker(extract=extract, min_inliers=55, ransac_iters=128)
+    results = tracker.track(offsets)
+    assert len(tracker.keyframes) >= 8  # the chain actually grew
+
+    gt = np.asarray([[ox - 8, oy - 8] for oy, ox in offsets], np.float64)
+    est_raw = np.stack([r["pose"][2:4] for r in results])
+    ate_raw = absolute_trajectory_error(est_raw, gt, align=False)
+
+    closures = detect_loop_closures(tracker, min_inliers=45)
+    assert closures, "return leg must re-observe early keyframes"
+    refined = refine_with_pose_graph(results, tracker, closures)
+    ate_pg = absolute_trajectory_error(refined[:, 2:4], gt, align=False)
+
+    # the raw chain carries real drift (an untrusted promotion holds a
+    # stale anchor) and the closures must repair most of it (measured with
+    # this seed: raw RMSE ~50 px -> refined ~4 px)
+    assert ate_raw["ate_rmse"] > 5.0, ate_raw
+    assert ate_pg["ate_rmse"] < ate_raw["ate_rmse"] * 0.5, (ate_raw, ate_pg)
 
 
 def test_ate_perfect_zero():
