@@ -146,6 +146,16 @@ def main() -> None:
         kp = extract_keypoints_from_scores(s, cfg)
         return jnp.sum(kp.score) + jnp.sum(desc)
 
+    def fwd_best_topk(v, im):
+        # the SERVED decode/NMS pairing (config defaults) through top-K,
+        # without descriptor sampling: full_extract minus this row isolates
+        # the sampling stage
+        from feature_point_cnn_tpu.ops.detection import extract_keypoints
+
+        prob, desc, _ = model.apply(v, im, train=False)
+        kp = extract_keypoints(prob, cfg)
+        return jnp.sum(kp.score) + jnp.sum(kp.y) + jnp.sum(desc)
+
     def full_extract(v, im):
         kp, desc = extract_fn(v, im, model=model, config=cfg)
         return jnp.sum(kp.score) + jnp.sum(desc[..., 0])
@@ -203,6 +213,7 @@ def main() -> None:
         ("fwd+decxla+nms_pallas", fwd_decxla_nms_pallas),
         ("fwd+decxla+nms_xla", fwd_decxla_nms_xla),
         ("fwd+dec+nms+topk", fwd_dec_nms_topk),
+        ("fwd+best+topk", fwd_best_topk),
         ("full_extract", full_extract),
         ("full+match", full_pipeline),
     ]
