@@ -235,7 +235,7 @@ def main() -> None:
     else:
         _log("budget exhausted: skipping relay RTT")
 
-    for bsz, keys in ((1, ("b1_latency_ms", "b1_fps")), (8, ("b8_fps",))):
+    for bsz in (1, 8):
         if _remaining() < 120:
             _log(f"budget exhausted: skipping b{bsz}")
             continue

@@ -57,6 +57,12 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--synthetic-path")
     tr.add_argument("--coco-path")
     tr.add_argument("--generate-points", action="store_true")
+    tr.add_argument("--relabel", action="store_true",
+                    help="with --generate-points: regenerate labels even "
+                         "for items that already have an output npz (the "
+                         "default SKIPS them, which resumes an interrupted "
+                         "run but would silently keep labels from an older "
+                         "model)")
     tr.add_argument("--magic-point-weights", default="checkpoints_magicpoint")
     tr.add_argument("--limit", type=int, default=0,
                     help="cap items for self-labeling (debug)")
@@ -227,6 +233,7 @@ def main(argv=None) -> None:
             preprocess_coco(
                 opt.coco_path, opt.magic_point_weights, cfg, limit=opt.limit,
                 shard_index=opt.shard_index, num_shards=opt.num_shards,
+                skip_existing=not opt.relabel,
             )
         elif opt.coco_path and opt.magic_point:
             print("MagicPoint training on labeled COCO...")

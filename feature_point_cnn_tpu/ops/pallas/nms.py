@@ -71,8 +71,6 @@ def _running_max_axis(x: jnp.ndarray, radius: int, axis: int) -> jnp.ndarray:
             )
         xp = jnp.maximum(xp, shifted)
         covered += step
-    if axis == 0:
-        return jax.lax.slice(xp, (0, 0), (h, w))
     return jax.lax.slice(xp, (0, 0), (h, w))
 
 

@@ -137,6 +137,8 @@ def preprocess_folder(
             print(
                 f"[selflabel] resume: {n_assigned - len(paths)}/{n_assigned}"
                 f" items already in {output_dir}, labeling the rest"
+                " (existing labels are KEPT — pass --relabel to regenerate"
+                " with the current model)"
             )
     out_hw = frontend.config.train_image_size
     key = jax.random.PRNGKey(seed)
@@ -179,6 +181,7 @@ def preprocess_coco(
     limit: int = 0,
     shard_index: int = 0,
     num_shards: int = 1,
+    skip_existing: bool = True,
 ) -> None:
     """Full reference flow (`preprocess_coco.py:41-61`): label
     ``train2014``/``test2014`` into ``train``/``test`` with the looser
@@ -197,5 +200,6 @@ def preprocess_coco(
             limit=limit,
             shard_index=shard_index,
             num_shards=num_shards,
+            skip_existing=skip_existing,
         )
         print(f"[selflabel] {src}: wrote {n} labeled items")

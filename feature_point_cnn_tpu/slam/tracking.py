@@ -104,8 +104,10 @@ class Tracker:
         # real".  Tying trust to min_inliers//2 (pre-round-5 behavior)
         # anchored promoted keyframes at STALE poses whenever overlap
         # dropped fast — a systematic odometry shortfall no pose graph can
-        # repair (loop closures only enforce internal consistency)
-        self.trust_min_inliers = max(4, trust_min_inliers)
+        # repair (loop closures only enforce internal consistency).
+        # Clamped to min_inliers: a floor ABOVE the promotion threshold
+        # would freeze the pose forever (never trusted, never re-keyed)
+        self.trust_min_inliers = max(4, min(trust_min_inliers, min_inliers))
         self.key = jax.random.PRNGKey(seed)
         self._program = jax.jit(
             functools.partial(
@@ -273,7 +275,9 @@ def refine_with_pose_graph(
     out = np.zeros((len(results), 4), np.float32)
     last = np.zeros(4, np.float32)
     for f, r in enumerate(results):
-        if r.get("tracked", False):
+        if r.get("tracked", False) or r.get("is_keyframe", False):
+            # a promoted frame IS its keyframe (rel = 0): even when the
+            # promotion was untrusted, its refined pose is refined[key_id]
             last = np.asarray(
                 sim2_compose(jnp.asarray(refined[r["key_id"]]),
                              jnp.asarray(r["rel"]))
