@@ -125,6 +125,13 @@ class SuperPointConfig:
                                       # batch_size_divider, which SPLITS one
                                       # batch into micro-batches (same
                                       # effective batch, less memory)
+    train_steps_per_call: int = 1     # device-resident data only: chain k
+                                      # optimizer steps inside ONE jitted
+                                      # program (lax.scan over per-step
+                                      # batch-index arrays), amortizing the
+                                      # per-dispatch host/relay overhead
+                                      # across k steps.  1 = one dispatch
+                                      # per step (reference-like loop)
     learning_rate: float = 1.0e-3
     lr_schedule: str = "warmup_cosine"  # "constant" | "warmup_cosine".  The
                                       # reference ships a dead scheduler

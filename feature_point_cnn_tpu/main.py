@@ -47,6 +47,10 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--batch-size", type=int, default=cfg.batch_size)
     tr.add_argument("--grad-accum-steps", type=int, default=1,
                     help="optax.MultiSteps accumulation across FULL batches")
+    tr.add_argument("--steps-per-call", type=int, default=1,
+                    help="chain k optimizer steps inside one jitted "
+                         "lax.scan dispatch (device-resident data only): "
+                         "amortizes the per-dispatch host/relay round trip")
     tr.add_argument("--microbatch-steps", type=int, default=1,
                     help="lax.scan microbatching inside the jitted step -- "
                          "splits each batch into k sequential microbatches, "
@@ -137,6 +141,7 @@ def config_from_args(opt) -> SuperPointConfig:
             batch_size=opt.batch_size,
             grad_accum_steps=opt.grad_accum_steps,
             microbatch_steps=opt.microbatch_steps,
+            train_steps_per_call=opt.steps_per_call,
             epochs=opt.epochs,
             photometric_augment=opt.photometric_augment,
             descriptor_loss=opt.descriptor_loss,

@@ -177,8 +177,23 @@ class Trainer:
                 return train_fn(state, batch, key)
 
             self._train_step = jax.jit(fused_fn, donate_argnums=(0,))
+
+            # chain k steps per dispatch (config.train_steps_per_call):
+            # `lax.scan` over stacked per-step (idx, key) pairs with the
+            # HBM-resident arrays closed over as scan-invariants — one
+            # host->device dispatch and one metrics fetch per k optimizer
+            # steps instead of per step.  Metrics come back stacked (k,...)
+            def scanned_fn(state, images, points, counts, idxs, keys):
+                def body(st, x):
+                    idx, key = x
+                    return fused_fn(st, images, points, counts, idx, key)
+
+                return jax.lax.scan(body, state, (idxs, keys))
+
+            self._train_scan = jax.jit(scanned_fn, donate_argnums=(0,))
         else:
             self._train_step = jax.jit(train_fn, donate_argnums=(0,))
+            self._train_scan = None
         self._eval_step = jax.jit(eval_fn)
         self._prob_fn = jax.jit(
             lambda params, stats, img: self.model.apply(
@@ -271,6 +286,13 @@ class Trainer:
             if self._fused_loader
             else self.train_loader.epoch(epoch)
         )
+        k_scan = getattr(self.config, "train_steps_per_call", 1)
+        if self._fused_loader and self._train_scan is not None and k_scan > 1:
+            out = self._train_epoch_scanned(
+                epoch, k_scan, iterator, trace_window, t0
+            )
+            trace_window.close()
+            return out
         for i, item in enumerate(iterator):
             trace_window.tick(i)
             if self._fused_loader:
@@ -322,6 +344,84 @@ class Trainer:
             return {}
         return {
             k: float(np.mean([m[k] for m in logged])) for k in logged[0]
+        }
+
+    def _train_epoch_scanned(
+        self, epoch: int, k: int, iterator, trace_window, t0
+    ) -> Dict[str, float]:
+        """Epoch loop at `train_steps_per_call` granularity: k optimizer
+        steps run inside ONE jitted `lax.scan` dispatch (device-resident
+        data only).  Through a network relay each dispatch + metrics fetch
+        round trip is tens of ms — at k=1 that overhead is paid per step;
+        here it amortizes k-fold.  A tail of fewer than k index arrays
+        falls back to the single-step program (already compiled)."""
+        import jax.numpy as jnp
+
+        from feature_point_cnn_tpu.utils import profiling
+
+        L = self.train_loader
+        logged = []
+        import time
+
+        pending_i, pending_keys = [], []
+        steps_done = 0
+        n_total = len(L)
+
+        def log_from(metrics, sub=None):
+            # metrics either per-step dict or stacked (k,...) from scan
+            take = (lambda v: v[sub]) if sub is not None else (lambda v: v)
+            m = {key: float(take(v)) for key, v in metrics.items()}
+            logged.append(m)
+            step = int(self.state.step)
+            m["lr"] = (
+                float(self._schedule(step))
+                if callable(self._schedule) else float(self._schedule)
+            )
+            for key, v in m.items():
+                self.writer.scalar(f"train/{key}", v, step)
+            rate = steps_done * L.batch_size / (time.time() - t0)
+            print(
+                f"[{self.phase}] epoch {epoch} step {steps_done}/{n_total} "
+                f"loss {m['loss']:.4f} ({rate:.1f} img/s)"
+            )
+
+        def flush():
+            nonlocal steps_done
+            if not pending_i:
+                return
+            if len(pending_i) == k:
+                idxs = jnp.stack(pending_i)
+                keys = jnp.stack(pending_keys)
+                with profiling.annotate(f"{self.phase}_train_scan"):
+                    self.state, metrics = self._train_scan(
+                        self.state, L.images, L.points, L.counts, idxs, keys
+                    )
+                steps_done += k
+                if steps_done % self.log_every < k or steps_done == k:
+                    log_from(metrics, sub=-1)
+            else:  # tail: single-step program
+                for idx, key in zip(pending_i, pending_keys):
+                    self.state, metrics = self._train_step(
+                        self.state, L.images, L.points, L.counts, idx, key
+                    )
+                    steps_done += 1
+                log_from(metrics)
+            pending_i.clear()
+            pending_keys.clear()
+
+        for i, item in enumerate(iterator):
+            trace_window.tick(i)
+            pending_i.append(item)
+            pending_keys.append(self._key(epoch, i))
+            if len(pending_i) == k:
+                flush()
+        flush()
+        if not logged:
+            return {}
+        import numpy as np
+
+        return {
+            key: float(np.mean([m[key] for m in logged])) for key in logged[0]
         }
 
     def evaluate(self, epoch: int) -> Dict[str, float]:

@@ -362,6 +362,45 @@ def test_microbatched_steps_run(rng):
     assert any(jax.tree_util.tree_leaves(moved))
 
 
+@pytest.mark.parametrize("k", [4, 3])
+def test_steps_per_call_scan_matches_loop(tiny_dataset, tmp_path, k):
+    """`train_steps_per_call=k` (k optimizer steps chained in one jitted
+    lax.scan dispatch over the device-resident store) must reproduce the
+    k=1 loop: same RNG key per step index, same batch order -> matching
+    params.  k=3 with 4 steps/epoch also exercises the single-step tail."""
+    from feature_point_cnn_tpu.data.device_store import DeviceBatchLoader
+    from feature_point_cnn_tpu.data.packed import PackedPointDataset, pack_dataset
+
+    out = tmp_path / "packed"
+    pack_dataset(str(tiny_dataset), str(out))
+
+    def run(steps_per_call, tag):
+        ds = PackedPointDataset(str(out), "train", seed=0)
+        loader = DeviceBatchLoader(
+            ds, batch_size=CFG.batch_size, max_points=CFG.max_points, seed=0
+        )
+        tr = Trainer(
+            CFG.replace(train_steps_per_call=steps_per_call), "magicpoint",
+            loader, None,
+            checkpoint_dir=str(tmp_path / f"ckpt_{tag}"),
+            write_statistics=False, log_every=2, seed=3,
+        )
+        m = tr.train_epoch(0)
+        return tr.state, m
+
+    state1, m1 = run(1, "k1")
+    statek, mk = run(k, f"k{k}")
+    assert np.isfinite(m1["loss"]) and np.isfinite(mk["loss"])
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state1.params),
+        jax.tree_util.tree_leaves(statek.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+        )
+    assert int(state1.step) == int(statek.step)
+
+
 def test_eval_cap_limits_batches(tiny_dataset):
     """eval_max_items caps per-epoch eval like the reference's 1000-item
     test-split cap (superpointtrainer.py:11)."""
