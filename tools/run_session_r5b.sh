@@ -1,11 +1,10 @@
 #!/bin/bash
-# Round-5 follow-up chip queue (launched after run_session_r5.sh):
-#   1. pose-graph tracking eval on the RELEASED weights (VERDICT item 7):
-#      200-frame, 3-loop revisiting sweep, raw + posegraph ATE columns
-#   2. uint8/grayscale ABI A/B for native serving (VERDICT item 4c):
-#      export u8+gray bundles (12x smaller image upload) and rerun the
-#      sweep points the f32 bundles ran
-#   3. updated serving stage profile + final bench
+# Round-5 follow-up chip queue (launched after run_session_r5.sh), highest
+# value first so a schedule slip costs the least-important stage:
+#   1. fresh bench (pipelined headline + round-5 kernels/gather)
+#   2. serving stage profile (isolates the descriptor-sampling stage)
+#   3. pose-graph tracking eval on the RELEASED weights (VERDICT item 7)
+#   4. uint8/grayscale ABI exports + native sweep A/B (VERDICT item 4c)
 # Same discipline as r5: every stage under timeout, gated on STOP_QUEUES.
 set -x
 cd /root/repo
@@ -19,6 +18,14 @@ gate() {
 }
 
 REL="weights/$(cat weights/RELEASED)"
+
+gate bench_r5b
+BENCH_BUDGET_S=900 timeout 1500 python bench.py > logs/bench_r5b.log 2>&1
+sleep 10
+
+gate profile_final
+timeout 2400 python tools/profile_serving.py > logs/profile_serving_r5b.log 2>&1
+sleep 10
 
 gate tracking_pg
 timeout 2400 python -m feature_point_cnn_tpu.eval.tracking \
@@ -47,12 +54,5 @@ echo "=== u8+gray b32, pipeline depths 1,2 ==="
 timeout 2700 "$BIN" --model _exports/joint_r5_packed_b32_u8gray \
     --frames 12 --pipeline 1,2 > logs/native_u8_b32_r5.log 2>&1
 sleep 10
-
-gate profile_final
-timeout 2400 python tools/profile_serving.py > logs/profile_serving_r5b.log 2>&1
-sleep 10
-
-gate bench_r5b
-BENCH_BUDGET_S=900 timeout 1500 python bench.py > logs/bench_r5b.log 2>&1
 
 echo SESSION_R5B_QUEUE_DONE
