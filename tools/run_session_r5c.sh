@@ -40,13 +40,15 @@ sleep 10
 bash tools/run_session_r5b.sh > logs/session_r5b_queue.log 2>&1
 
 gate train_i3
-# same recipe/budget as ctl@60; --steps-per-call 8 also measures the
-# round-5 scan-training feature at real scale (parity-tested on CPU)
-timeout 5400 python -m feature_point_cnn_tpu.main train \
+# same recipe as ctl, 40-epoch budget (wall-clock bound at round end; the
+# matched ctl@40 snapshot comes from watch_ctl_epoch.sh 40);
+# --steps-per-call 8 also measures the round-5 scan-training feature at
+# real scale (parity-tested on CPU)
+timeout 4200 python -m feature_point_cnn_tpu.main train \
     --coco-path _data/real_corpus_r5i3 \
     --magic-point-weights weights/magicpoint_synth_r3.npz \
     --checkpoint-path _data/ckpt_superpoint_i3 \
-    --epochs 60 --steps-per-call 8 \
+    --epochs 40 --steps-per-call 8 \
     --snapshot-path weights/superpoint_joint_r5i3.npz \
     > logs/train_superpoint_r5i3.log 2>&1
 sleep 10
