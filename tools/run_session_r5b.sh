@@ -29,7 +29,8 @@ sleep 10
 
 gate tracking_pg
 timeout 2400 python -m feature_point_cnn_tpu.eval.tracking \
-    --weights-path "$REL" --frames 200 --loops 3 --max-shift 40 \
+    --weights-path "$REL" --source _data/real_corpus_r3/test2014 \
+    --frames 200 --loops 3 --max-shift 40 \
     --posegraph > logs/tracking_r5_pg.log 2>&1
 sleep 10
 
