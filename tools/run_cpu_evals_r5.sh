@@ -19,11 +19,11 @@ for tag in ctl hn aug; do
     continue
   fi
   # snapshots are written atomically per epoch but training may still be
-  # running; wait until the arm's final-epoch line is in its train log so
+  # running; wait until the arm's final-epoch line (epoch 15 for --epochs 16) is in its train log so
   # the eval sees the completed-schedule snapshot
   LOG="logs/train_superpoint_r5${tag}.log"
   for _ in $(seq 1 360); do
-    grep -q "epoch 16 test" "$LOG" 2>/dev/null && break
+    grep -q "epoch 15 test" "$LOG" 2>/dev/null && break
     [ -f tools/STOP_QUEUES ] && break
     sleep 10
   done

@@ -53,7 +53,7 @@ timeout 2400 python -m feature_point_cnn_tpu.main train \
 sleep 5
 
 gate train_ctl
-timeout 1500 bash tools/train_chunked.sh 16 logs/train_superpoint_r5ctl.log \
+timeout 1500 bash tools/train_chunked.sh 15 logs/train_superpoint_r5ctl.log \
   python -m feature_point_cnn_tpu.main train \
     --coco-path _data/real_corpus_r3i2 \
     --magic-point-weights weights/magicpoint_synth_r3.npz \
@@ -63,7 +63,7 @@ timeout 1500 bash tools/train_chunked.sh 16 logs/train_superpoint_r5ctl.log \
 sleep 5
 
 gate train_hn
-timeout 2700 bash tools/train_chunked.sh 16 logs/train_superpoint_r5hn.log \
+timeout 2700 bash tools/train_chunked.sh 15 logs/train_superpoint_r5hn.log \
   python -m feature_point_cnn_tpu.main train \
     --coco-path _data/real_corpus_r3i2 \
     --magic-point-weights weights/magicpoint_synth_r3.npz \
@@ -109,12 +109,13 @@ sleep 5
 gate tracking_pg
 timeout 1500 python -m feature_point_cnn_tpu.eval.tracking \
     --weights-path "weights/$(cat weights/RELEASED)" \
+    --source _data/real_corpus_r3/test2014 \
     --frames 200 --loops 3 --max-shift 40 \
     --posegraph > logs/tracking_r5_pg.log 2>&1
 sleep 5
 
 gate train_aug
-timeout 1500 bash tools/train_chunked.sh 16 logs/train_superpoint_r5aug.log \
+timeout 1500 bash tools/train_chunked.sh 15 logs/train_superpoint_r5aug.log \
   python -m feature_point_cnn_tpu.main train \
     --coco-path _data/real_corpus_r3i2 \
     --magic-point-weights weights/magicpoint_synth_r3.npz \

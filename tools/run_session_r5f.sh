@@ -57,7 +57,7 @@ gate train_aug
 T_LEFT=$(( DEADLINE_EPOCH - $(date +%s) ))
 [ "$T_LEFT" -gt 1500 ] && T_LEFT=1500
 if [ "$T_LEFT" -gt 300 ]; then
-  timeout "$T_LEFT" bash tools/train_chunked.sh 16 logs/train_superpoint_r5aug.log \
+  timeout "$T_LEFT" bash tools/train_chunked.sh 15 logs/train_superpoint_r5aug.log \
     python -m feature_point_cnn_tpu.main train \
       --coco-path _data/real_corpus_r3i2 \
       --magic-point-weights weights/magicpoint_synth_r3.npz \

@@ -8,6 +8,10 @@
 # Usage: train_chunked.sh <final_epoch> <logfile> <train command...>
 #   e.g. train_chunked.sh 59 logs/train_x.log \
 #          python -m feature_point_cnn_tpu.main train --epochs 60 ...
+# NOTE: the trainer numbers epochs 0..N-1 for --epochs N (epoch 0 is the
+# pre-train eval), so <final_epoch> must be N-1 — passing N makes the
+# loop re-launch an already-finished run (harmless no-ops via orbax
+# auto-resume, but it wastes chunks and masks real completion).
 set -u
 TARGET_EPOCH=$1
 LOG=$2
